@@ -1,0 +1,207 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its hyperparameters across call sites (see e.g.
+reference proposal_utils.py:12-36, custom_maskrcnn.py:185-192, rpn.py:76-81,
+preprocess_dataset.py:13,33). Here every constant lives in one frozen
+dataclass tree so jitted functions can close over it as static state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Tiling geometry (reference preprocess_dataset.py:33,86-124 and
+    visualize.py:16-24).
+
+    A full LIVECell frame (704x520) is divided into a grid_size x grid_size
+    lattice of "mini tiles"; a window_size x window_size window of mini
+    tiles slides over all positions, producing (grid_size - window_size + 1)^2
+    overlapping tiles.
+    """
+
+    frame_width: int = 704
+    frame_height: int = 520
+    tiles_per_image: int = 25
+    window_size: int = 3
+
+    @property
+    def grid_size(self) -> int:
+        # int(sqrt(25)) + 2 == 7 (reference preprocess_dataset.py:33)
+        return int(self.tiles_per_image ** 0.5) + 2
+
+    @property
+    def mini_tile_width(self) -> int:
+        return self.frame_width // self.grid_size  # 100
+
+    @property
+    def mini_tile_height(self) -> int:
+        return self.frame_height // self.grid_size  # 74
+
+    @property
+    def tile_width(self) -> int:
+        return self.mini_tile_width * self.window_size  # 300
+
+    @property
+    def tile_height(self) -> int:
+        return self.mini_tile_height * self.window_size  # 222
+
+    @property
+    def tiles_per_row(self) -> int:
+        return self.grid_size - self.window_size + 1  # 5
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_per_row ** 2  # 25
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Custom Mask R-CNN architecture + detection hyperparameters.
+
+    Values mirror the reference model exactly:
+      * anchors: sizes (32,64,128) x ratios (0.5,1,2), stride-4 level
+        (reference custom_maskrcnn.py:55-57, anchor_generator.py:8)
+      * RoIAlign 7x7, spatial_scale 1/4, sampling_ratio 2
+        (reference custom_maskrcnn.py:48-50)
+      * training proposals: top-500, score>0.01, min size 5, sample 128
+        (reference proposal_utils.py:12-31, custom_maskrcnn.py:117)
+      * inference proposals: top-250, score>0.3, min size 10, NMS 0.4,
+        keep 50 (reference proposal_utils.py:33-59)
+      * detection: score>0.4, NMS 0.5 (reference custom_maskrcnn.py:185-192)
+      * RPN matching 0.5/0.3, 128 pos cap, 256 total
+        (reference rpn.py:76-81)
+      * box fg IoU >= 0.4, mask fg IoU > 0.3
+        (reference custom_maskrcnn.py:226,251; mask_utils.py:97)
+    """
+
+    num_classes: int = 2
+
+    # Padded input size fed to the network. The raw tile is 300x222; we pad
+    # right/bottom with zeros to lane/sublane-friendly multiples so XLA maps
+    # convs onto the MXU without ragged edges. Fully convolutional, so the
+    # pad region only produces extra background anchors.
+    image_height: int = 224
+    image_width: int = 304
+
+    # Backbone / FPN.
+    backbone_channels: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    fpn_channels: int = 256
+    cbam_reduction: int = 16
+    cbam_spatial_kernel: int = 7
+
+    # Anchors (level-0 of the FPN, stride 4).
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_stride: int = 4
+
+    # RoIAlign.
+    roi_output_size: int = 7
+    roi_spatial_scale: float = 0.25
+    roi_sampling_ratio: int = 2
+
+    # Mask head.
+    mask_size: int = 28
+
+    # RPN loss sampling.
+    rpn_pos_iou: float = 0.5
+    rpn_neg_iou: float = 0.3
+    rpn_pos_per_image: int = 128
+    rpn_batch_per_image: int = 256
+
+    # Training proposals.
+    train_pre_topk: int = 500
+    train_score_thresh: float = 0.01
+    train_min_box_size: float = 5.0
+    train_num_samples: int = 128
+
+    # Inference proposals.
+    infer_pre_topk: int = 250
+    infer_score_thresh: float = 0.3
+    infer_nms_thresh: float = 0.4
+    infer_post_nms: int = 50
+    infer_min_box_size: float = 10.0
+
+    # Detection head postprocess.
+    det_score_thresh: float = 0.4
+    det_nms_thresh: float = 0.5
+    max_detections: int = 50
+
+    # Second-stage matching thresholds.
+    box_fg_iou: float = 0.4
+    mask_fg_iou: float = 0.3
+
+    # Static instance-slot count for padded ground truth.
+    max_instances: int = 128
+
+    # Compute dtype for the conv/matmul path (params stay f32).
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.anchor_sizes) * len(self.anchor_ratios)
+
+    @property
+    def feature_height(self) -> int:
+        """Stride-4 (level-0) feature height for the padded input.
+
+        conv1 (k7 s2 p3) then maxpool (k3 s2 p1), both floor-mode like torch.
+        """
+        h = (self.image_height + 2 * 3 - 7) // 2 + 1
+        return (h + 2 * 1 - 3) // 2 + 1
+
+    @property
+    def feature_width(self) -> int:
+        w = (self.image_width + 2 * 3 - 7) // 2 + 1
+        return (w + 2 * 1 - 3) // 2 + 1
+
+    @property
+    def num_anchors(self) -> int:
+        return self.feature_height * self.feature_width * self.num_anchors_per_cell
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference train_custom.py:212-219,297-302)."""
+
+    batch_size: int = 2
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    num_epochs: int = 5
+    lr_step_size: int = 2       # StepLR(step_size=2, gamma=0.1)
+    lr_gamma: float = 0.1
+    seed: int = 0
+    eval_score_thresh: float = 0.5   # reference train_custom.py:131
+    eval_iou_thresh: float = 0.5     # reference train_custom.py:105
+
+
+@dataclasses.dataclass(frozen=True)
+class TransferTrainConfig:
+    """Two-stage transfer schedule (reference train_transfer.py:346-354)."""
+
+    batch_size: int = 2
+    stage1_lr: float = 5e-3
+    stage1_epochs: int = 3
+    stage2_lr: float = 1e-3
+    stage2_epochs: int = 2
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    transfer: TransferTrainConfig = dataclasses.field(
+        default_factory=TransferTrainConfig)
+    tile: TileConfig = dataclasses.field(default_factory=TileConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = Config()

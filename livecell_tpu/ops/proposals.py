@@ -1,0 +1,99 @@
+"""Static-shape proposal selection.
+
+The reference builds proposals with dynamic boolean indexing
+(proposal_utils.py:12-59): topk -> score filter -> clip -> min-size filter
+(-> NMS at inference), then random sampling (custom_maskrcnn.py:117).
+Every step shrinks the tensor — a shape XLA cannot trace. Here each stage
+keeps the full static slot count and carries a validity mask instead; the
+selection *semantics* (ordering, thresholds, greedy NMS) are unchanged.
+
+Note the reference never decodes RPN bbox deltas — its proposals are the
+raw anchors (proposal_utils.py:25,47). We reproduce that behavior (it
+defines the model the metrics were built on); decode support exists in
+ops/boxes.py behind the detector's `decode_proposals` flag.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from livecell_tpu.ops.boxes import clip_boxes, small_box_mask
+from livecell_tpu.ops.nms import nms_fixed
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray   # [K,4]
+    scores: jnp.ndarray  # [K]
+    valid: jnp.ndarray   # [K] bool
+
+
+def sample_rows(rng: jax.Array, valid: jnp.ndarray, k: int):
+    """Uniformly sample up to k True rows of `valid` (static output).
+
+    Returns ([k] int32 indices, [k] bool mask). Functional equivalent of
+    the reference's randperm sampling (proposal_utils.py:6-10, rpn.py:84-99).
+    """
+    n = valid.shape[0]
+    u = jax.random.uniform(rng, valid.shape)
+    pri = jnp.where(valid, u + 1.0, 0.0)
+    top, idx = jax.lax.top_k(pri, min(k, n))
+    if k > n:
+        idx = jnp.pad(idx, (0, k - n))
+        top = jnp.pad(top, (0, k - n))
+    return idx.astype(jnp.int32), top > 0.5
+
+
+def training_proposals(
+    objectness: jnp.ndarray,
+    anchors: jnp.ndarray,
+    image_size: tuple[int, int],
+    rng: jax.Array,
+    pre_topk: int = 500,
+    score_thresh: float = 0.01,
+    min_size: float = 5.0,
+    num_samples: int = 128,
+) -> Proposals:
+    """Training-time proposals (reference proposal_utils.py:12-31 + the
+    sample_proposals call at custom_maskrcnn.py:117).
+
+    Args:
+      objectness: [A] RPN logits flattened in (y, x, anchor) order.
+      anchors: [A,4].
+    """
+    scores = jax.nn.sigmoid(objectness)
+    top_scores, top_idx = jax.lax.top_k(scores, pre_topk)
+    boxes = anchors[top_idx]
+    valid = top_scores > score_thresh
+    boxes = clip_boxes(boxes, image_size)
+    valid &= small_box_mask(boxes, min_size)
+
+    sel, sel_valid = sample_rows(rng, valid, num_samples)
+    return Proposals(boxes[sel], top_scores[sel], sel_valid)
+
+
+def inference_proposals(
+    objectness: jnp.ndarray,
+    anchors: jnp.ndarray,
+    image_size: tuple[int, int],
+    pre_topk: int = 250,
+    score_thresh: float = 0.3,
+    nms_thresh: float = 0.4,
+    post_nms: int = 50,
+    min_size: float = 10.0,
+) -> Proposals:
+    """Inference-time proposals (reference proposal_utils.py:33-59):
+    topk -> score>thresh -> clip -> min-size -> greedy NMS -> top post_nms.
+    """
+    scores = jax.nn.sigmoid(objectness)
+    top_scores, top_idx = jax.lax.top_k(scores, pre_topk)
+    boxes = anchors[top_idx]
+    valid = top_scores > score_thresh
+    boxes = clip_boxes(boxes, image_size)
+    valid &= small_box_mask(boxes, min_size)
+
+    keep_idx, keep_valid = nms_fixed(
+        boxes, top_scores, nms_thresh, post_nms, valid)
+    return Proposals(boxes[keep_idx], top_scores[keep_idx], keep_valid)

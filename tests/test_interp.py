@@ -1,0 +1,118 @@
+"""Interpolation-matrix resampling vs torch F.interpolate goldens.
+
+torch (CPU) ships in the environment, so the exact reference semantics
+(bilinear, align_corners=False) are checked directly against it.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from livecell_tpu.ops.interp import resize_weight_matrix
+from livecell_tpu.ops.mask_ops import (
+    extract_mask_targets, paste_masks, resize_bilinear)
+
+
+def torch_resize(x_np, out_hw):
+    t = torch.from_numpy(x_np)[None, None]
+    return F.interpolate(t, size=out_hw, mode="bilinear",
+                         align_corners=False)[0, 0].numpy()
+
+
+def test_resize_matrix_matches_torch_upsample(rng):
+    x = rng.standard_normal((14, 14)).astype(np.float32)
+    wy = resize_weight_matrix(14, 28)
+    got = wy @ x @ wy.T
+    want = torch_resize(x, (28, 28))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_matrix_matches_torch_downsample(rng):
+    x = rng.standard_normal((37, 23)).astype(np.float32)
+    got = resize_weight_matrix(37, 9) @ x @ resize_weight_matrix(23, 15).T
+    want = torch_resize(x, (9, 15))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_nhwc(rng):
+    x = rng.standard_normal((2, 14, 14, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (28, 28)))
+    for b in range(2):
+        for c in range(3):
+            want = torch_resize(x[b, :, :, c], (28, 28))
+            np.testing.assert_allclose(got[b, :, :, c], want,
+                                       rtol=1e-4, atol=1e-4)
+
+
+def reference_extract_mask_target(gt_mask, box, mask_size=28):
+    """Direct transcription of the reference algorithm
+    (mask_utils.py:6-46) using torch, as a golden."""
+    x1, y1, x2, y2 = [int(v) for v in box]
+    h, w = gt_mask.shape
+    x1 = max(0, min(x1, w - 1)); y1 = max(0, min(y1, h - 1))
+    x2 = max(x1 + 1, min(x2, w)); y2 = max(y1 + 1, min(y2, h))
+    crop = gt_mask[y1:y2, x1:x2].astype(np.float32)
+    return torch_resize(crop, (mask_size, mask_size))
+
+
+def test_extract_mask_targets_matches_reference(rng):
+    h, w = 60, 80
+    masks = (rng.uniform(size=(5, h, w)) > 0.6).astype(np.float32)
+    boxes = np.array([
+        [10.3, 5.9, 40.2, 50.1],
+        [-4.0, -2.0, 20.0, 30.0],     # negative corner -> clamped
+        [70.0, 50.0, 95.0, 75.0],     # exceeds image -> clamped
+        [15.0, 15.0, 15.4, 15.2],     # degenerate -> 1px floor
+        [0.0, 0.0, 80.0, 60.0],       # full image
+    ], dtype=np.float32)
+
+    got = np.asarray(extract_mask_targets(
+        jnp.asarray(masks), jnp.asarray(boxes), 28))
+    for k in range(5):
+        want = reference_extract_mask_target(masks[k], boxes[k])
+        np.testing.assert_allclose(got[k], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"box {k}")
+
+
+def reference_paste(mask_prob, box, img_hw, threshold=0.5):
+    """Transcription of the reference paste loop
+    (custom_maskrcnn.py:278-293)."""
+    img_h, img_w = img_hw
+    out = np.zeros(img_hw, dtype=np.float32)
+    x1, y1, x2, y2 = [int(v) for v in box]
+    x1, y1 = max(0, x1), max(0, y1)
+    x2, y2 = min(img_w, x2), min(img_h, y2)
+    if x2 > x1 and y2 > y1:
+        resized = torch_resize(mask_prob, (y2 - y1, x2 - x1))
+        out[y1:y2, x1:x2] = (resized > threshold).astype(np.float32)
+    return (out * 255).astype(np.uint8)
+
+
+def test_paste_masks_matches_reference(rng):
+    img_hw = (50, 70)
+    probs = rng.uniform(size=(4, 28, 28)).astype(np.float32)
+    boxes = np.array([
+        [5.2, 8.9, 33.0, 44.0],
+        [-10.0, -5.0, 20.0, 25.0],
+        [60.0, 40.0, 90.0, 80.0],
+        [30.0, 30.0, 30.0, 30.0],     # empty after truncation
+    ], dtype=np.float32)
+
+    got = np.asarray(paste_masks(jnp.asarray(probs), jnp.asarray(boxes),
+                                 img_hw))
+    for k in range(4):
+        want = reference_paste(probs[k], boxes[k], img_hw)
+        # Pixels whose prob is within 1e-4 of 0.5 may binarize differently
+        # due to fp reassociation; none should exist for random uniforms.
+        np.testing.assert_array_equal(got[k], want, err_msg=f"box {k}")
+
+
+def test_paste_masks_respects_validity(rng):
+    probs = np.ones((2, 28, 28), dtype=np.float32)
+    boxes = np.array([[2.0, 2.0, 8.0, 8.0]] * 2, dtype=np.float32)
+    got = np.asarray(paste_masks(
+        jnp.asarray(probs), jnp.asarray(boxes), (20, 20),
+        valid=jnp.asarray([True, False])))
+    assert got[0].max() == 255
+    assert got[1].max() == 0
