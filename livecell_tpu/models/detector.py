@@ -1,0 +1,180 @@
+"""Detection losses and postprocessing — pure static-shape functions.
+
+Functional re-expressions of the reference loss/postprocess logic:
+  * RPN objectness loss with balanced sampling (reference rpn.py:42-121)
+  * box cls/reg losses (reference custom_maskrcnn.py:211-240)
+  * mask BCE loss (reference custom_maskrcnn.py:242-263 +
+    mask_utils.py:49-126)
+  * inference detection filtering (reference custom_maskrcnn.py:179-207)
+
+Reference quirks preserved deliberately (they define the model whose
+metrics we compare against; each is flagged in comments):
+  * RPN loss reads objectness of batch image 0 only, while anchors are
+    matched against ground truth concatenated across the whole batch
+    (rpn.py:53 indexes a flat [B*H*W*A] view with anchor-count-bounded
+    indices; rpn.py:57-67 concatenates all targets).
+  * proposals are raw anchors; RPN deltas are never decoded
+    (proposal_utils.py:25,47).
+  * box/mask heads train on batch image 0 only (custom_maskrcnn.py:108,
+    120, 213, 244).
+
+Ground-truth batches use fixed instance slots:
+  targets = {
+    'boxes':  [B, I, 4] f32 xyxy,
+    'labels': [B, I] i32,
+    'mask28': [B, I, 28, 28] f32 (GT-box-cropped mask targets; the
+              reference extracts these from the dense GT mask at the
+              *matched GT box*, mask_utils.py:107-112, so they are a pure
+              per-instance precompute),
+    'valid':  [B, I] bool,
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from livecell_tpu.config import ModelConfig
+from livecell_tpu.ops.boxes import box_iou, encode_boxes
+
+
+def _rank_desc(x: jnp.ndarray) -> jnp.ndarray:
+    """rank[i] = position of x[i] in descending sort order."""
+    order = jnp.argsort(-x)
+    return jnp.zeros_like(order).at[order].set(jnp.arange(x.shape[0]))
+
+
+def bce_with_logits(logits, labels):
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def smooth_l1(x, y, beta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def rpn_loss(
+    cls_level0: jnp.ndarray,       # [B, H, W, A] logits
+    anchors: jnp.ndarray,          # [N, 4]
+    gt_boxes: jnp.ndarray,         # [B, I, 4]
+    gt_valid: jnp.ndarray,         # [B, I]
+    rng: jax.Array,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Balanced-sample objectness BCE (reference rpn.py:42-121)."""
+    n = anchors.shape[0]
+    # Reference quirk: flat indices into [B*H*W*A] never exceed N, so only
+    # image 0's scores are supervised.
+    scores = cls_level0[0].reshape(-1).astype(jnp.float32)  # [N]
+
+    boxes_all = gt_boxes.reshape(-1, 4)
+    valid_all = gt_valid.reshape(-1)
+    ious = box_iou(anchors, boxes_all)                       # [N, B*I]
+    ious = jnp.where(valid_all[None, :], ious, -1.0)
+    max_iou = ious.max(axis=1)
+
+    pos = max_iou >= cfg.rpn_pos_iou
+    neg = (max_iou < cfg.rpn_neg_iou) & (max_iou >= 0.0)
+    # With no valid GT every iou is -1: no pos, no neg -> constant fallback.
+
+    num_pos = jnp.minimum(pos.sum(), cfg.rpn_pos_per_image)
+    num_neg = jnp.minimum(neg.sum(), cfg.rpn_batch_per_image - num_pos)
+
+    kp, kn = jax.random.split(rng)
+    pri_pos = jnp.where(pos, jax.random.uniform(kp, (n,)), -1.0)
+    pri_neg = jnp.where(neg, jax.random.uniform(kn, (n,)), -1.0)
+    chosen_pos = pos & (_rank_desc(pri_pos) < num_pos)
+    chosen_neg = neg & (_rank_desc(pri_neg) < num_neg)
+
+    labels = chosen_pos.astype(jnp.float32)
+    w = (chosen_pos | chosen_neg).astype(jnp.float32)
+    denom = jnp.maximum(w.sum(), 1.0)
+    loss = (bce_with_logits(scores, labels) * w).sum() / denom
+
+    has_gt = valid_all.any()
+    has_sample = (num_pos + num_neg) > 0
+    # No GT at all -> 0.1 (rpn.py:64); matching failed -> 0.1*mean
+    # (rpn.py:120).
+    return jnp.where(
+        has_gt, jnp.where(has_sample, loss, 0.1 * scores.mean()), 0.1)
+
+
+class HeadTargets(NamedTuple):
+    cls_labels: jnp.ndarray    # [K] int (0 bg / 1 fg)
+    cls_weight: jnp.ndarray    # [K] float (proposal validity)
+    reg_targets: jnp.ndarray   # [K, 4]
+    reg_weight: jnp.ndarray    # [K] (box-fg mask)
+    mask_targets: jnp.ndarray  # [K, 28, 28]
+    mask_weight: jnp.ndarray   # [K] (mask-fg mask)
+
+
+def match_head_targets(
+    proposals: jnp.ndarray,    # [K, 4]
+    prop_valid: jnp.ndarray,   # [K]
+    gt_boxes: jnp.ndarray,     # [I, 4]
+    gt_valid: jnp.ndarray,     # [I]
+    gt_mask28: jnp.ndarray,    # [I, 28, 28]
+    cfg: ModelConfig,
+) -> HeadTargets:
+    """IoU-match proposals to GT (single image — reference trains heads on
+    batch element 0, custom_maskrcnn.py:213,244)."""
+    ious = box_iou(proposals, gt_boxes)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou = ious.max(axis=1)
+    matched = ious.argmax(axis=1)
+
+    fg_box = (max_iou >= cfg.box_fg_iou) & prop_valid
+    fg_mask = (max_iou > cfg.mask_fg_iou) & prop_valid
+
+    matched_boxes = gt_boxes[matched]
+    reg_targets = encode_boxes(matched_boxes, proposals)
+    mask_targets = gt_mask28[matched]
+
+    has_gt = gt_valid.any()
+    return HeadTargets(
+        cls_labels=fg_box.astype(jnp.int32),
+        cls_weight=(prop_valid & has_gt).astype(jnp.float32),
+        reg_targets=reg_targets,
+        reg_weight=(fg_box & has_gt).astype(jnp.float32),
+        mask_targets=mask_targets,
+        mask_weight=(fg_mask & has_gt).astype(jnp.float32),
+    )
+
+
+def box_losses(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+               t: HeadTargets, num_classes: int = 2
+               ) -> Dict[str, jnp.ndarray]:
+    """CE over all (valid) proposals + smooth-L1 on class-1 deltas over
+    box-fg proposals (reference custom_maskrcnn.py:221-240)."""
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, t.cls_labels[:, None], axis=1)[:, 0]
+    cls_loss = (ce * t.cls_weight).sum() / jnp.maximum(t.cls_weight.sum(), 1.0)
+
+    # Reference slices class-1 deltas: box_regression[:, 4:8]
+    # (custom_maskrcnn.py:234).
+    fg_deltas = box_deltas[:, 4:8].astype(jnp.float32)
+    reg = smooth_l1(fg_deltas, t.reg_targets).mean(axis=1)
+    reg_loss = (reg * t.reg_weight).sum() / jnp.maximum(t.reg_weight.sum(), 1.0)
+    reg_loss = jnp.where(t.reg_weight.sum() > 0, reg_loss, 0.0)
+    return {"loss_box_cls": cls_loss, "loss_box_reg": reg_loss}
+
+
+def mask_loss(mask_logits: jnp.ndarray, t: HeadTargets) -> jnp.ndarray:
+    """BCE on class-1 mask logits over mask-fg proposals
+    (reference mask_utils.py:117-126)."""
+    logits1 = mask_logits[..., 1].astype(jnp.float32)       # [K, 28, 28]
+    per = bce_with_logits(logits1, t.mask_targets).mean(axis=(1, 2))
+    loss = (per * t.mask_weight).sum() / jnp.maximum(t.mask_weight.sum(), 1.0)
+    return jnp.where(t.mask_weight.sum() > 0, loss, 0.0)
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray       # [B, D, 4]
+    scores: jnp.ndarray      # [B, D]
+    labels: jnp.ndarray      # [B, D] (1 = cell)
+    valid: jnp.ndarray       # [B, D] bool
+    mask_probs: jnp.ndarray  # [B, D, 28, 28] class-1 sigmoid probabilities

@@ -1,0 +1,228 @@
+"""Custom Mask R-CNN assembly (reference src/custom_maskrcnn.py:21-360),
+rebuilt as one statically-shaped jittable graph.
+
+Differences from the reference by design (TPU-first):
+  * no per-image Python loops — inference runs batched with vmap over
+    padded proposal/detection slots,
+  * anchors are a compile-time constant (not regenerated per step,
+    custom_maskrcnn.py:96-100),
+  * mask pasting to full resolution is a separate op (ops.paste_masks) so
+    the evaluation path never materializes [D, H, W] masks it won't read.
+
+Semantics preserved (see models/detector.py docstring for the quirk list).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from livecell_tpu.config import ModelConfig
+from livecell_tpu.models import detector
+from livecell_tpu.models.cbam import CBAM
+from livecell_tpu.models.fpn import FPN
+from livecell_tpu.models.heads import BoxHead, MaskHead
+from livecell_tpu.models.resnet import ResNetBackbone
+from livecell_tpu.models.rpn import RPNHead
+from livecell_tpu.ops.anchors import generate_anchors
+from livecell_tpu.ops.nms import nms_fixed
+from livecell_tpu.ops.proposals import (
+    inference_proposals, training_proposals)
+from livecell_tpu.ops.roi_align import roi_align
+
+
+class CustomMaskRCNN(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.backbone = ResNetBackbone(dtype=dtype)
+        self.cbam = [CBAM(ch, c.cbam_reduction, c.cbam_spatial_kernel,
+                          dtype=dtype, name=f"cbam{i + 1}")
+                     for i, ch in enumerate(c.backbone_channels)]
+        self.fpn = FPN(c.backbone_channels, c.fpn_channels, dtype=dtype)
+        self.rpn = RPNHead(c.fpn_channels, c.num_anchors_per_cell,
+                           dtype=dtype)
+        self.box_head = BoxHead(c.fpn_channels, c.num_classes,
+                                c.roi_output_size, dtype=dtype)
+        self.mask_head = MaskHead(c.fpn_channels, c.num_classes,
+                                  c.mask_size, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Shared trunk (reference extract_features, custom_maskrcnn.py:67-83).
+    # ------------------------------------------------------------------
+    def extract_features(self, images: jnp.ndarray, train: bool):
+        x = images.astype(jnp.dtype(self.cfg.compute_dtype))
+        stages = self.backbone(x, train)
+        attended = [cb(s) for cb, s in zip(self.cbam, stages)]
+        feats = self.fpn(attended)
+        return feats
+
+    def _anchors(self) -> jnp.ndarray:
+        c = self.cfg
+        return jnp.asarray(generate_anchors(
+            (c.feature_height, c.feature_width), c.anchor_stride,
+            c.anchor_sizes, c.anchor_ratios))
+
+    # ------------------------------------------------------------------
+    # Training (reference forward_train, custom_maskrcnn.py:85-142).
+    # ------------------------------------------------------------------
+    def train_forward(self, images: jnp.ndarray,
+                      targets: Dict[str, jnp.ndarray]
+                      ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        feats = self.extract_features(images, train=True)
+        cls_scores, _ = self.rpn(feats)
+        anchors = self._anchors()
+        img_size = (c.image_height, c.image_width)
+
+        rng = self.make_rng("sampling")
+        k_rpn, k_prop = jax.random.split(rng)
+
+        loss_rpn = detector.rpn_loss(
+            cls_scores[0].astype(jnp.float32), anchors,
+            targets["boxes"], targets["valid"], k_rpn, c)
+
+        # Proposals from image 0's level-0 objectness
+        # (custom_maskrcnn.py:108-111); heads train on image 0 only.
+        obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
+        props = training_proposals(
+            obj0, anchors, img_size, k_prop, c.train_pre_topk,
+            c.train_score_thresh, c.train_min_box_size, c.train_num_samples)
+
+        feat0 = feats[0][0].astype(jnp.float32)
+        rois = roi_align(feat0, props.boxes, c.roi_output_size,
+                         c.roi_spatial_scale, c.roi_sampling_ratio)
+        cls_logits, box_deltas = self.box_head(rois)
+        mask_logits = self.mask_head(rois)
+
+        t = detector.match_head_targets(
+            props.boxes, props.valid, targets["boxes"][0],
+            targets["valid"][0], targets["mask28"][0], c)
+        losses = detector.box_losses(cls_logits, box_deltas, t,
+                                     c.num_classes)
+        losses["loss_mask"] = detector.mask_loss(mask_logits, t)
+        losses["loss_rpn_cls"] = loss_rpn
+        return losses
+
+    # ------------------------------------------------------------------
+    # Inference (reference forward_inference, custom_maskrcnn.py:144-209),
+    # batched instead of a per-image Python loop.
+    # ------------------------------------------------------------------
+    def inference_forward(self, images: jnp.ndarray) -> detector.Detections:
+        c = self.cfg
+        feats = self.extract_features(images, train=False)
+        cls_scores, _ = self.rpn(feats)
+        anchors = self._anchors()
+        img_size = (c.image_height, c.image_width)
+        feat0 = feats[0].astype(jnp.float32)
+        b = images.shape[0]
+
+        obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
+
+        def per_image(obj_i, feat_i):
+            props = inference_proposals(
+                obj_i, anchors, img_size, c.infer_pre_topk,
+                c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
+                c.infer_min_box_size)
+            rois = roi_align(feat_i, props.boxes, c.roi_output_size,
+                             c.roi_spatial_scale, c.roi_sampling_ratio)
+            return props, rois
+
+        props, rois = jax.vmap(per_image)(obj, feat0)
+
+        flat_rois = rois.reshape((-1,) + rois.shape[2:])
+        cls_logits, _ = self.box_head(flat_rois)
+        mask_logits = self.mask_head(flat_rois)
+        d = c.infer_post_nms
+        cls_logits = cls_logits.reshape(b, d, -1)
+        mask_probs = jax.nn.sigmoid(
+            mask_logits[..., 1].reshape(b, d, c.mask_size, c.mask_size))
+
+        box_scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1]
+
+        def postprocess(boxes, scores, pvalid, probs):
+            keep = (scores > c.det_score_thresh) & pvalid
+            idx, kvalid = nms_fixed(boxes, scores, c.det_nms_thresh,
+                                    c.max_detections, valid=keep)
+            return detector.Detections(
+                boxes=boxes[idx], scores=scores[idx],
+                labels=jnp.ones((c.max_detections,), jnp.int32),
+                valid=kvalid, mask_probs=probs[idx])
+
+        return jax.vmap(postprocess)(props.boxes, box_scores, props.valid,
+                                     mask_probs)
+
+    def init_forward(self, images: jnp.ndarray, rois: jnp.ndarray):
+        """Cheap path touching every submodule once, used only to create
+        parameters (full image sizes are irrelevant to param shapes)."""
+        feats = self.extract_features(images, train=False)
+        cls_scores, bbox = self.rpn(feats)
+        cls_logits, deltas = self.box_head(rois)
+        mask_logits = self.mask_head(rois)
+        return cls_scores[0].sum() + cls_logits.sum() + mask_logits.sum()
+
+    def __call__(self, images: jnp.ndarray,
+                 targets: Optional[Dict[str, jnp.ndarray]] = None,
+                 train: bool = False):
+        if train:
+            assert targets is not None, "Targets required during training"
+            return self.train_forward(images, targets)
+        return self.inference_forward(images)
+
+
+def count_parameters(params: Any) -> Dict[str, Any]:
+    """Per-subsystem parameter counts (reference count_parameters,
+    custom_maskrcnn.py:316-354)."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    groups = {"backbone": 0, "cbam": 0, "fpn": 0, "rpn": 0, "box_head": 0,
+              "mask_head": 0, "roi_align": 0}
+    total = 0
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 0
+        total += n
+        if "cbam" in name:
+            groups["cbam"] += n
+        elif "backbone" in name:
+            groups["backbone"] += n
+        elif "fpn" in name:
+            groups["fpn"] += n
+        elif "rpn" in name:
+            groups["rpn"] += n
+        elif "box_head" in name:
+            groups["box_head"] += n
+        elif "mask_head" in name:
+            groups["mask_head"] += n
+    custom = total - groups["backbone"]
+    return {
+        "total": total, **groups, "custom": custom,
+        "custom_percentage": 100.0 * custom / total if total else 0.0,
+        "memory_mb": total * 4 / (1024 ** 2),
+    }
+
+
+def create_model(cfg: ModelConfig, rng: jax.Array,
+                 ) -> Tuple[CustomMaskRCNN, Dict[str, Any]]:
+    """Build the model and initialize variables (params + batch_stats)."""
+    model = CustomMaskRCNN(cfg)
+
+    # Init must run under jit: on remote-tunneled backends (axon) eager
+    # per-op dispatch is pathologically slow, and jit also lets XLA fold
+    # the whole init into one program.
+    @jax.jit
+    def _init(key):
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        rois = jnp.zeros(
+            (1, cfg.roi_output_size, cfg.roi_output_size, cfg.fpn_channels),
+            jnp.float32)
+        return model.init({"params": key}, images, rois,
+                          method="init_forward")
+
+    return model, _init(rng)
