@@ -1,0 +1,11 @@
+from livecell_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from livecell_tpu.parallel.train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
