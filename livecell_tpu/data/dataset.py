@@ -174,23 +174,30 @@ class PackedDataset:
         return np.diff(self.offsets)
 
     def gather(self, indices: np.ndarray) -> Tuple[np.ndarray, Dict]:
-        """Assemble a fixed-shape batch for the given tile indices."""
+        """Assemble a fixed-shape batch for the given tile indices.
+
+        Images and mask targets stay uint8 — 4x less host->device traffic
+        (the tunnel is the throughput bottleneck on this host); the jitted
+        step normalizes on device.
+        """
         cfg = self.cfg
         b = len(indices)
         i_max = cfg.max_instances
-        images = pad_image_batch(self.images[indices],
-                                 (cfg.image_height, cfg.image_width))
+        h, w = self.images.shape[1:3]
+        images = np.zeros((b, cfg.image_height, cfg.image_width, 3),
+                          np.uint8)
+        images[:, :h, :w] = self.images[indices]
         boxes = np.zeros((b, i_max, 4), np.float32)
         labels = np.zeros((b, i_max), np.int32)
         mask28 = np.zeros((b, i_max, cfg.mask_size, cfg.mask_size),
-                          np.float32)
+                          np.uint8)
         valid = np.zeros((b, i_max), bool)
         for bi, idx in enumerate(indices):
             lo, hi = self.offsets[idx], self.offsets[idx + 1]
             n = min(hi - lo, i_max)
             boxes[bi, :n] = self.boxes[lo:lo + n]
             labels[bi, :n] = self.labels[lo:lo + n]
-            mask28[bi, :n] = self.mask28[lo:lo + n].astype(np.float32) / 255.0
+            mask28[bi, :n] = self.mask28[lo:lo + n]
             valid[bi, :n] = True
         return images, {"boxes": boxes, "labels": labels,
                         "mask28": mask28, "valid": valid}

@@ -25,8 +25,15 @@ def nearest_upsample_to(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 class FPN(nn.Module):
+    """The reference's FPN uses ReLU after the 3x3 output convs
+    (fpn.py:22-30); torchvision's detection FPN does not and appends a
+    stride-2 maxpool level (P6) for the RPN — both variants are supported
+    for the custom and transfer models respectively."""
+
     in_channels: Sequence[int] = (64, 128, 256, 512)
     out_channels: int = 256
+    relu_outputs: bool = True
+    extra_maxpool: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -46,5 +53,7 @@ class FPN(nn.Module):
             o = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                         kernel_init=kaiming_uniform_a1, bias_init=zeros,
                         dtype=self.dtype, name=f"output{i}")(lat)
-            outs.append(nn.relu(o))
+            outs.append(nn.relu(o) if self.relu_outputs else o)
+        if self.extra_maxpool:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return tuple(outs)

@@ -62,3 +62,64 @@ def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
     import jax
 
     return jax.vmap(lambda f, b: roi_align(f, b, **kw))(features, boxes)
+
+
+def roi_align_gather(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_size: int = 7,
+    spatial_scale: float = 0.25,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign via 4-tap gathers (same semantics as `roi_align`).
+
+    The einsum formulation costs O(K * n * H * W * C) — ideal for the
+    custom model's small stride-4 map, but quadratic-in-resolution for
+    the transfer model's 800px-scale pyramids. This variant costs
+    O(K * n^2 * 4 * C) independent of feature size: compute the sample
+    coordinates, gather the four corners, and blend.
+    """
+    fh, fw, c = features.shape
+    k = boxes.shape[0]
+    n = out_size * sampling_ratio
+    b = boxes.astype(jnp.float32)
+
+    def axis_coords(lo, hi, size):
+        start = lo * spatial_scale
+        length = jnp.maximum(hi * spatial_scale - start, 1.0)
+        bin_sz = length / out_size
+        s = jnp.arange(n, dtype=jnp.float32)
+        pos = jnp.floor(s / sampling_ratio)
+        frac = (s % sampling_ratio + 0.5) / sampling_ratio
+        coords = start[:, None] + (pos + frac)[None, :] * bin_sz[:, None]
+        valid = (coords >= -1.0) & (coords <= float(size))
+        cc = jnp.clip(coords, 0.0, size - 1.0)
+        i0 = jnp.floor(cc).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, size - 1)
+        w1 = cc - i0.astype(cc.dtype)
+        return i0, i1, w1, valid
+
+    y0, y1, wy, vy = axis_coords(b[:, 1], b[:, 3], fh)   # [K, n]
+    x0, x1, wx, vx = axis_coords(b[:, 0], b[:, 2], fw)
+
+    flat = features.reshape(fh * fw, c)
+
+    def corner(yi, xi):
+        idx = yi[:, :, None] * fw + xi[:, None, :]        # [K, n, n]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(k, n, n, c)
+
+    f00 = corner(y0, x0)
+    f01 = corner(y0, x1)
+    f10 = corner(y1, x0)
+    f11 = corner(y1, x1)
+
+    wy_ = (wy * vy)[:, :, None, None]
+    iy_ = ((1.0 - wy) * vy)[:, :, None, None]
+    wx_ = (wx * vx)[:, None, :, None]
+    ix_ = ((1.0 - wx) * vx)[:, None, :, None]
+
+    samp = (f00 * iy_ * ix_ + f01 * iy_ * wx_ +
+            f10 * wy_ * ix_ + f11 * wy_ * wx_)
+    samp = samp.reshape(k, out_size, sampling_ratio, out_size,
+                        sampling_ratio, c)
+    return samp.mean(axis=(2, 4)).astype(features.dtype)

@@ -25,6 +25,18 @@ from livecell_tpu.parallel.mesh import (
     batch_sharding, param_shardings, replicated)
 
 
+def _normalize_batch(images, targets):
+    """Device-side normalization of uint8-transported batches (images /255,
+    mask targets /255); float inputs pass through unchanged."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if targets is not None and targets.get("mask28") is not None and \
+            targets["mask28"].dtype == jnp.uint8:
+        targets = dict(targets)
+        targets["mask28"] = targets["mask28"].astype(jnp.float32) / 255.0
+    return images, targets
+
+
 @struct.dataclass
 class TrainState:
     step: jnp.ndarray
@@ -70,6 +82,7 @@ def make_train_step(model: CustomMaskRCNN,
     """
 
     def loss_fn(params, batch_stats, images, targets, rng):
+        images, targets = _normalize_batch(images, targets)
         losses, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, targets, train=True,
@@ -100,11 +113,11 @@ def make_train_step(model: CustomMaskRCNN,
             bsh = batch_sharding(mesh)
             rep = replicated(mesh)
             tsh = jax.tree.map(lambda _: bsh, targets)
+            # `rep` acts as a pytree prefix covering the whole metrics
+            # dict, so this works for any model's loss keys.
             cache["fn"] = jax.jit(
                 step, in_shardings=(ssh, bsh, tsh, rep),
-                out_shardings=(ssh, jax.tree.map(lambda _: rep, {
-                    "total_loss": 0, "grad_norm": 0, "loss_rpn_cls": 0,
-                    "loss_box_cls": 0, "loss_box_reg": 0, "loss_mask": 0})),
+                out_shardings=(ssh, rep),
                 donate_argnums=donate_args)
         return cache["fn"](state, images, targets, rng)
 
@@ -116,6 +129,7 @@ def make_eval_step(model: CustomMaskRCNN, mesh=None) -> Callable:
     Detections."""
 
     def step(params, batch_stats, images):
+        images, _ = _normalize_batch(images, None)
         return model.apply({"params": params, "batch_stats": batch_stats},
                            images, train=False)
 

@@ -1,0 +1,265 @@
+"""GT-vs-prediction full-frame visualization CLI.
+
+Reference-compatible CLI (reference src/visualize.py:462-575):
+
+    python -m livecell_tpu.serve.visualize \
+        --model1_path models/custom_maskrcnn_5epochs.ckpt \
+        --model1_type custom --test_dir data_split/test/images
+
+Per base frame: one batched 25-tile forward + fused dedup (serve/stitch),
+frame reconstruction, colored instance mask overlays for predictions and
+ground truth (RLE or polygon), and a side-by-side PNG per frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from livecell_tpu.config import Config
+from livecell_tpu.serve.stitch import (
+    StitchedDetections, group_tiles_by_image, load_tiles,
+    make_frame_predictor, reconstruct_full_image)
+
+
+def load_model(model_path: str, model_type: str = "custom",
+               num_classes: int = 2):
+    """Load a trained model + variables (reference visualize.py:27-69)."""
+    import jax
+
+    from livecell_tpu.train import checkpoint
+
+    cfg = Config()
+    print(f"Loading {model_type} model from {model_path}...")
+    if model_type == "custom":
+        from livecell_tpu.models.mask_rcnn import create_model
+
+        model, variables = create_model(cfg.model, jax.random.key(0))
+    elif model_type == "transfer":
+        from livecell_tpu.models.transfer import create_transfer_model
+
+        model, variables = create_transfer_model(cfg.model,
+                                                 jax.random.key(0))
+    else:
+        raise ValueError(f"Unknown model_type: {model_type}")
+
+    ckpt = checkpoint.load(model_path)
+    variables = {"params": ckpt["params"],
+                 "batch_stats": ckpt.get("batch_stats", {})}
+    return model, variables
+
+
+def load_coco_annotations(json_path: str):
+    """filename -> annotations map (reference visualize.py:260-270)."""
+    with open(json_path) as f:
+        data = json.load(f)
+    images = {img["id"]: img["file_name"] for img in data["images"]}
+    by_image = defaultdict(list)
+    for ann in data["annotations"]:
+        if ann["image_id"] in images:
+            by_image[images[ann["image_id"]]].append(ann)
+    return dict(by_image), images
+
+
+def create_mask_overlay(dets: StitchedDetections, frame_hw) -> np.ndarray:
+    """RGBA overlay of predicted instance masks, tab20-colored
+    (reference visualize.py:312-347)."""
+    import matplotlib.pyplot as plt
+
+    h, w = frame_hw
+    canvas = np.zeros((h, w, 4), np.float32)
+    for idx in range(len(dets.scores)):
+        color = plt.cm.tab20(idx % 20)
+        ox, oy = int(dets.offsets[idx, 0]), int(dets.offsets[idx, 1])
+        mask = dets.masks[idx]
+        mh, mw = mask.shape
+        y1, x1 = min(oy + mh, h), min(ox + mw, w)
+        sub = mask[:y1 - oy, :x1 - ox]
+        canvas[oy:y1, ox:x1][sub] = (*color[:3], 0.5)
+    return canvas
+
+
+def create_gt_mask_overlay(annotations: List[Dict], frame_hw):
+    """RGBA overlay of GT masks from RLE or polygons
+    (reference visualize.py:350-382)."""
+    import matplotlib.pyplot as plt
+
+    from livecell_tpu.data.coco import polygons_to_mask, rle_decode
+
+    h, w = frame_hw
+    overlay = np.zeros((h, w, 4), np.float32)
+    count = 0
+    for ann in annotations:
+        seg = ann.get("segmentation")
+        if seg is None:
+            continue
+        if isinstance(seg, dict):
+            mask = rle_decode(seg, (h, w))
+        elif isinstance(seg, list):
+            mask = polygons_to_mask(seg, h, w)
+        else:
+            continue
+        color = plt.cm.tab20(count % 20)
+        colored = np.zeros((h, w, 4), np.float32)
+        colored[mask > 0] = (*color[:3], 0.5)
+        overlay = np.maximum(overlay, colored)
+        count += 1
+    return overlay, count
+
+
+def visualize_with_ground_truth(base_name: str,
+                                original_img: Optional[np.ndarray],
+                                annotations: List[Dict],
+                                results_list: List[StitchedDetections],
+                                tiles_list: List[np.ndarray],
+                                model_names: List[str],
+                                save_dir: str = "outputs",
+                                score_threshold: float = 0.5,
+                                mask_threshold: float = 0.4,
+                                tile_cfg=None):
+    """Side-by-side GT / per-model prediction panel
+    (reference visualize.py:385-459)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from livecell_tpu.config import TileConfig
+
+    tile_cfg = tile_cfg or TileConfig()
+    frame_hw = (tile_cfg.frame_height, tile_cfg.frame_width)
+    os.makedirs(save_dir, exist_ok=True)
+    num_plots = 1 + len(results_list)
+    full_canvas = reconstruct_full_image(tiles_list[0], tile_cfg)
+
+    fig, axes = plt.subplots(1, num_plots, figsize=(10 * num_plots, 10))
+    axes = np.atleast_1d(axes)
+
+    if original_img is not None:
+        axes[0].imshow(original_img)
+        gt_overlay, gt_count = create_gt_mask_overlay(annotations, frame_hw)
+        axes[0].imshow(gt_overlay)
+        axes[0].set_title(f"Ground Truth: {base_name}\n"
+                          f"Instances: {gt_count}", fontsize=12)
+    else:
+        axes[0].text(0.5, 0.5, "GT Not Available", ha="center", va="center")
+        axes[0].set_title(f"Ground Truth: {base_name}", fontsize=12)
+    axes[0].axis("off")
+
+    for i, (dets, name) in enumerate(zip(results_list, model_names)):
+        ax = axes[i + 1]
+        ax.imshow(full_canvas)
+        ax.imshow(create_mask_overlay(dets, frame_hw))
+        for k in range(len(dets.scores)):
+            mask = dets.masks[k]
+            if mask.any():
+                ys, xs = np.nonzero(mask)
+                ax.text(xs.mean() + dets.offsets[k, 0],
+                        ys.mean() + dets.offsets[k, 1],
+                        f"{dets.scores[k]:.2f}", color="white", fontsize=6,
+                        weight="bold", ha="center", va="center",
+                        bbox=dict(facecolor="black", alpha=0.7,
+                                  edgecolor="none", pad=1))
+        ax.set_title(f"{name}: {base_name}\nInstances: {len(dets.scores)}",
+                     fontsize=12)
+        ax.axis("off")
+
+    plt.suptitle(f"Ground Truth vs Predictions | Score>{score_threshold} | "
+                 f"Mask>{mask_threshold * 100:.0f}%", fontsize=14, y=0.98)
+    plt.tight_layout()
+    save_path = os.path.join(save_dir, f"{base_name}_GT_VS_PREDICTIONS.png")
+    plt.savefig(save_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Saved GT vs Predictions: {save_path}")
+    return save_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Mask R-CNN dual model inference with tiled images")
+    parser.add_argument("--model1_path", type=str,
+                        default="models/custom_maskrcnn_5epochs.ckpt")
+    parser.add_argument("--model1_type", type=str, default="custom",
+                        choices=["custom", "transfer"])
+    parser.add_argument("--model1_name", type=str, default="Custom Model")
+    parser.add_argument("--model2_path", type=str, default=None)
+    parser.add_argument("--model2_type", type=str, default="transfer",
+                        choices=["custom", "transfer"])
+    parser.add_argument("--model2_name", type=str,
+                        default="Transfer Learning Model")
+    parser.add_argument("--test_dir", type=str,
+                        default="data_split/test/images")
+    parser.add_argument("--data_dir", type=str, default="data",
+                        help="Raw (untiled) LIVECell tree for GT frames")
+    parser.add_argument("--output_dir", type=str, default="outputs")
+    parser.add_argument("--score_threshold", type=float, default=0.5)
+    parser.add_argument("--mask_threshold", type=float, default=0.4)
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+
+    cfg = Config()
+    tile_cfg = cfg.tile
+
+    # Index raw-frame annotations across all splits
+    # (reference visualize.py:505-523).
+    ann_by_image: Dict[str, List] = {}
+    filename_to_dir: Dict[str, str] = {}
+    for split in ("test", "train", "val"):
+        ann_path = os.path.join(args.data_dir, "annotations",
+                                f"livecell_coco_{split}.json")
+        img_dir = os.path.join(args.data_dir, split, "images")
+        if os.path.exists(ann_path):
+            anns, imgs = load_coco_annotations(ann_path)
+            ann_by_image.update(anns)
+            for fname in imgs.values():
+                filename_to_dir[fname] = img_dir
+
+    tiles_by_image = group_tiles_by_image(args.test_dir)
+    print(f"Processing {len(tiles_by_image)} image sets from "
+          f"{args.test_dir}")
+
+    predictors = []
+    names = []
+    for path, mtype, name in [
+            (args.model1_path, args.model1_type, args.model1_name),
+            (args.model2_path, args.model2_type, args.model2_name)]:
+        if path:
+            model, variables = load_model(path, mtype)
+            predictors.append(make_frame_predictor(
+                model, variables, tile_cfg, args.score_threshold,
+                args.mask_threshold))
+            names.append(name)
+
+    for base_name, tiles_info in tiles_by_image.items():
+        print(f"\nWorking on: {base_name}")
+        tiles = load_tiles(tiles_info, tile_cfg)
+
+        original_img = None
+        annotations = []
+        for fname, d in filename_to_dir.items():
+            if os.path.splitext(fname)[0] == base_name or fname == base_name:
+                p = os.path.join(d, fname)
+                if os.path.exists(p):
+                    with Image.open(p) as im:
+                        original_img = np.asarray(im.convert("RGB"))
+                    annotations = ann_by_image.get(fname, [])
+                break
+
+        results = [predict(tiles) for predict in predictors]
+        visualize_with_ground_truth(
+            base_name, original_img, annotations, results,
+            [tiles] * len(results), names, save_dir=args.output_dir,
+            score_threshold=args.score_threshold,
+            mask_threshold=args.mask_threshold, tile_cfg=tile_cfg)
+
+    print(f"\nFinished. Visualizations saved to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,297 @@
+"""Train the custom Mask R-CNN — CLI-compatible with the reference
+(reference src/train_custom.py:211-401).
+
+    python -m livecell_tpu.train.train_custom \
+        --batch_size 2 --lr 0.001 --num_epochs 5 [--use_wandb]
+
+Differences by design:
+  * one jitted train step (forward, losses, backward, AdamW, grad-norm)
+    instead of an eager loop with a Python grad-norm pass,
+  * data-parallel over all visible devices via the ('data','model') mesh
+    when more than one is present,
+  * AdamW + StepLR(2, 0.1) expressed as an optax schedule
+    (reference train_custom.py:297-302),
+  * checkpoints are Orbax pytrees with the reference's logical contents
+    (epoch, params, optimizer state, loss/metric history, param_info).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+
+def build_optimizer(lr: float, weight_decay: float, steps_per_epoch: int,
+                    step_size: int = 2, gamma: float = 0.1):
+    """AdamW with the reference's per-epoch StepLR decay."""
+    import optax
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return lr * (gamma ** (epoch // step_size))
+
+    return optax.adamw(schedule, weight_decay=weight_decay), schedule
+
+
+def save_training_plot(train_losses: List[float], val_metrics: List[Dict],
+                       save_path: str):
+    """3-panel loss / IoU / F1 plot (reference train_custom.py:173-208)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    epochs = range(1, len(train_losses) + 1)
+    panels = [
+        (train_losses, "b-", "Train Loss", "Loss"),
+        ([m["mean_iou"] for m in val_metrics], "g-", "Validation IoU", "IoU"),
+        ([m["f1_score"] for m in val_metrics], "r-", "Validation F1 Score",
+         "F1 Score"),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for ax, (ys, style, title, ylabel) in zip(axes, panels):
+        ax.plot(epochs, ys, style)
+        ax.set_xlabel("Epoch")
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        ax.grid(True)
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Training plot saved to {save_path}")
+
+
+def device_memory_mb() -> float:
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / (1024 ** 2)
+    except Exception:
+        return 0.0
+
+
+def main(argv=None, config=None):
+    parser = argparse.ArgumentParser(description="Train Custom Mask R-CNN")
+    parser.add_argument("--model", type=str, default="custom")
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--num_epochs", type=int, default=5)
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--wandb_project", type=str,
+                        default="livecell-instance-segmentation")
+    parser.add_argument("--data_dir", type=str, default="data_split")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval_batch_size", type=int, default=None)
+    parser.add_argument("--coco_ap", action="store_true",
+                        help="also compute COCO mask/box AP on the test "
+                             "split (the BASELINE headline metric)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from livecell_tpu.config import Config
+    from livecell_tpu.data.dataset import get_datasets
+    from livecell_tpu.models.mask_rcnn import (
+        count_parameters, create_model)
+    from livecell_tpu.parallel.mesh import batch_sharding, make_mesh
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_eval_step, make_train_step)
+    from livecell_tpu.train import checkpoint, metrics as metrics_lib
+    from livecell_tpu.train.tracker import Tracker
+    from livecell_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = config or Config()
+    mcfg = cfg.model
+
+    print(f"Training {args.model.upper()} Model")
+    print("\nConfiguration:")
+    print(f"  Devices: {jax.devices()}")
+    print(f"  Batch size: {args.batch_size}")
+    print(f"  Learning rate: {args.lr}")
+    print(f"  Epochs: {args.num_epochs}")
+    print(f"  W&B logging: {args.use_wandb}")
+
+    tracker = Tracker(
+        args.use_wandb, args.wandb_project,
+        name=f"{args.model}_lr{args.lr}_bs{args.batch_size}"
+             f"_ep{args.num_epochs}",
+        config={
+            "model_type": args.model,
+            "architecture": "Custom MaskRCNN with CBAM",
+            "backbone": "ResNet-18",
+            "learning_rate": args.lr, "batch_size": args.batch_size,
+            "epochs": args.num_epochs, "optimizer": "AdamW",
+            "weight_decay": cfg.train.weight_decay, "scheduler": "StepLR",
+            "dataset": "LIVECell",
+        })
+
+    print("\nLoading datasets...")
+    datasets = get_datasets(args.data_dir, mcfg)
+    train_ds = datasets["train"]
+    val_ds = datasets.get("val")
+    test_ds = datasets.get("test")
+
+    steps_per_epoch = len(train_ds) // args.batch_size
+    if steps_per_epoch == 0:
+        raise ValueError("batch_size larger than the training split")
+
+    print("\nCreating model...")
+    model, variables = create_model(mcfg, jax.random.key(args.seed))
+    param_info = count_parameters(variables["params"])
+    print(f"  Total parameters: {param_info['total']:,}")
+    print(f"  Backbone (ResNet-18): {param_info['backbone']:,}")
+    print(f"  Custom: {param_info['custom']:,} "
+          f"({param_info['custom_percentage']:.1f}%)")
+    print(f"  Memory size: {param_info['memory_mb']:.2f} MB")
+    tracker.update_config({
+        "total_params": param_info["total"],
+        "custom_params": param_info["custom"],
+        "cbam_params": param_info["cbam"],
+        "custom_percentage": param_info["custom_percentage"],
+        "model_memory_mb": param_info["memory_mb"],
+    })
+
+    tx, schedule = build_optimizer(
+        args.lr, cfg.train.weight_decay, steps_per_epoch,
+        cfg.train.lr_step_size, cfg.train.lr_gamma)
+
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        mesh = make_mesh()
+        print(f"  Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    state = create_train_state(model, variables, tx, mesh=mesh)
+    train_step = make_train_step(model, tx, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=None)
+
+    bsh = batch_sharding(mesh) if mesh is not None else None
+
+    def put(x):
+        arr = jnp.asarray(x)
+        return jax.device_put(arr, bsh) if bsh is not None else arr
+
+    rng = jax.random.key(args.seed + 1)
+    train_losses: List[float] = []
+    val_history: List[Dict] = []
+
+    from livecell_tpu.utils.prefetch import prefetch
+
+    for epoch in range(1, args.num_epochs + 1):
+        t_epoch = time.time()
+        step_metrics = []   # device scalars; fetched once per epoch so
+        mems = []           # the host never blocks the dispatch pipeline
+        n_steps = 0
+        for images, targets, _ in prefetch(train_ds.batches(
+                args.batch_size, shuffle=True, seed=args.seed + epoch,
+                drop_last=True)):
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(state, put(images),
+                                  {k: put(v) for k, v in targets.items()},
+                                  sub)
+            step_metrics.append(m)
+            mems.append(device_memory_mb())
+            n_steps += 1
+
+        step_metrics = jax.device_get(step_metrics)
+        epoch_time = time.time() - t_epoch
+        gnorms = [float(m.pop("grad_norm")) for m in step_metrics]
+        avg = {k: float(np.mean([m[k] for m in step_metrics]))
+               for k in step_metrics[0]}
+        lr_now = float(schedule((epoch - 1) * steps_per_epoch))
+        print(f"\nEpoch {epoch} Training ({epoch_time:.1f}s, "
+              f"{n_steps * args.batch_size / epoch_time:.1f} img/s):")
+        print(f"  Loss: {avg['total_loss']:.4f}")
+        print(f"    RPN Cls:  {avg['loss_rpn_cls']:.4f}")
+        print(f"    Box Cls:  {avg['loss_box_cls']:.4f}")
+        print(f"    Box Reg:  {avg['loss_box_reg']:.4f}")
+        print(f"    Mask:     {avg['loss_mask']:.4f}")
+        print(f"  Gradient Norm: {np.mean(gnorms):.4f} "
+              f"(min {np.min(gnorms):.4f}, max {np.max(gnorms):.4f})")
+        print(f"  Learning Rate: {lr_now:.6f}")
+        print(f"  Device Memory: {np.mean(mems):.1f} MB "
+              f"(max {np.max(mems):.1f} MB)")
+
+        train_losses.append(avg["total_loss"])
+        tracker.log({
+            "epoch": epoch,
+            "train/total_loss": avg["total_loss"],
+            "train/rpn_cls_loss": avg["loss_rpn_cls"],
+            "train/box_cls_loss": avg["loss_box_cls"],
+            "train/box_reg_loss": avg["loss_box_reg"],
+            "train/mask_loss": avg["loss_mask"],
+            "dynamics/gradient_norm_mean": float(np.mean(gnorms)),
+            "dynamics/gradient_norm_max": float(np.max(gnorms)),
+            "dynamics/learning_rate": lr_now,
+            "dynamics/memory_usage_mb": float(np.mean(mems)),
+            "dynamics/epoch_time_seconds": epoch_time,
+        })
+
+        if val_ds is not None:
+            vm = metrics_lib.evaluate(
+                eval_step, state.params, state.batch_stats, val_ds,
+                args.eval_batch_size or args.batch_size,
+                cfg.train.eval_score_thresh, cfg.train.eval_iou_thresh)
+            val_history.append(vm)
+            print(f"  Validation: IoU {vm['mean_iou']:.4f} | "
+                  f"P {vm['mean_precision']:.4f} | R {vm['mean_recall']:.4f}"
+                  f" | F1 {vm['f1_score']:.4f}")
+            tracker.log({
+                "epoch": epoch,
+                "val/mean_iou": vm["mean_iou"],
+                "val/precision": vm["mean_precision"],
+                "val/recall": vm["mean_recall"],
+                "val/f1_score": vm["f1_score"],
+            })
+
+    os.makedirs("models", exist_ok=True)
+    model_path = f"models/{args.model}_maskrcnn_{args.num_epochs}epochs.ckpt"
+    checkpoint.save(model_path, state.params, state.batch_stats,
+                    opt_state=state.opt_state, epoch=args.num_epochs,
+                    train_losses=train_losses, val_metrics=val_history,
+                    param_info=param_info)
+    print(f"\nModel saved to {model_path}")
+
+    if val_history:
+        plot_path = f"outputs/{args.model}_training_plot.png"
+        save_training_plot(train_losses, val_history, plot_path)
+        tracker.log_image("training_plot", plot_path)
+
+    if test_ds is not None:
+        print("\nTesting...")
+        tm = metrics_lib.evaluate(
+            eval_step, state.params, state.batch_stats, test_ds,
+            args.eval_batch_size or args.batch_size,
+            cfg.train.eval_score_thresh, cfg.train.eval_iou_thresh)
+        print(f"  Test: IoU {tm['mean_iou']:.4f} | "
+              f"P {tm['mean_precision']:.4f} | R {tm['mean_recall']:.4f} | "
+              f"F1 {tm['f1_score']:.4f}")
+        tracker.log({
+            "test/mean_iou": tm["mean_iou"],
+            "test/precision": tm["mean_precision"],
+            "test/recall": tm["mean_recall"],
+            "test/f1_score": tm["f1_score"],
+        })
+        if args.coco_ap:
+            from livecell_tpu.train.coco_eval import evaluate_coco
+
+            ap = evaluate_coco(eval_step, state.params, state.batch_stats,
+                               test_ds, args.eval_batch_size or
+                               args.batch_size, iou_type="segm")
+            print(f"  Mask AP: {ap['AP']:.4f} (AP50 {ap['AP50']:.4f}, "
+                  f"AP75 {ap['AP75']:.4f})")
+            tracker.log({f"test/mask_{k}": v for k, v in ap.items()})
+
+    tracker.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()

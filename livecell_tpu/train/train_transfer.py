@@ -1,0 +1,187 @@
+"""Two-stage transfer fine-tuning of the ResNet-50 FPN Mask R-CNN.
+
+Reference equivalent: src/train_transfer.py (hardcoded config at
+:346-354): Stage 1 trains only the heads with backbone+RPN frozen
+(SGD lr 5e-3, momentum 0.9, wd 5e-4, 3 epochs); Stage 2 unfreezes
+everything (SGD lr 1e-3, 2 epochs). Freezing is an optax.multi_transform
+mask (set_to_zero for frozen subtrees) instead of requires_grad flags.
+
+    python -m livecell_tpu.train.train_transfer \
+        [--pretrained path/to/torchvision_maskrcnn.pth] \
+        [--data_dir data_split]
+
+Without --pretrained the backbone starts from random init (this
+environment cannot download torchvision weights); pass a local
+state_dict for the reference's pretrained=True behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+FROZEN_STAGE1 = ("backbone", "fpn", "rpn")
+
+
+def stage_optimizer(lr: float, momentum: float, weight_decay: float,
+                    freeze: bool):
+    """SGD(momentum, wd); stage 1 zeroes updates for backbone/FPN/RPN
+    (reference freeze_backbone, train_transfer.py:40-47)."""
+    import optax
+
+    sgd = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(lr, momentum=momentum))
+    if not freeze:
+        return sgd
+
+    def label(params):
+        return {k: ("frozen" if k in FROZEN_STAGE1 else "train")
+                for k in params}
+
+    return optax.multi_transform(
+        {"train": sgd, "frozen": optax.set_to_zero()}, label)
+
+
+def main(argv=None, transfer_cfg=None):
+    parser = argparse.ArgumentParser(
+        description="Two-stage Mask R-CNN transfer fine-tuning")
+    parser.add_argument("--data_dir", type=str, default="data_split")
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--stage1_epochs", type=int, default=3)
+    parser.add_argument("--stage2_epochs", type=int, default=2)
+    parser.add_argument("--stage1_lr", type=float, default=5e-3)
+    parser.add_argument("--stage2_lr", type=float, default=1e-3)
+    parser.add_argument("--pretrained", type=str, default=None,
+                        help="local torchvision maskrcnn .pth state_dict")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--track_preds", action="store_true",
+                        help="per-batch eval forward counting preds>0.5 "
+                             "(reference train_transfer.py:117-125)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from livecell_tpu.config import Config, ModelConfig
+    from livecell_tpu.data.dataset import get_datasets
+    from livecell_tpu.models.transfer import (
+        TransferConfig, create_transfer_model)
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_eval_step, make_train_step)
+    from livecell_tpu.train import checkpoint, metrics as metrics_lib
+    from livecell_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = Config()
+    tcfg = transfer_cfg or TransferConfig()
+
+    print("Two-stage transfer training (ResNet-50 FPN Mask R-CNN)")
+    if args.pretrained:
+        print(f"  Importing torchvision weights from {args.pretrained}")
+    else:
+        print("  WARNING: no --pretrained checkpoint; backbone is random "
+              "init (no network access for torchvision downloads)")
+
+    # Dataset packing reuses the custom pipeline; instance slots sized by
+    # the transfer config.
+    dcfg = ModelConfig(max_instances=tcfg.max_instances,
+                       mask_size=tcfg.mask_size)
+    datasets = get_datasets(args.data_dir, dcfg)
+    train_ds = datasets["train"]
+    val_ds = datasets.get("val")
+    test_ds = datasets.get("test")
+
+    model, variables = create_transfer_model(
+        rng=jax.random.key(args.seed), cfg=tcfg,
+        pretrained_path=args.pretrained)
+
+    eval_step = make_eval_step(model)
+    rng = jax.random.key(args.seed + 1)
+    history: List[Dict] = []
+
+    def run_stage(stage: int, epochs: int, lr: float, freeze: bool,
+                  state=None):
+        nonlocal rng
+        tx = stage_optimizer(lr, cfg.transfer.momentum,
+                             cfg.transfer.weight_decay, freeze)
+        if state is None:
+            state = create_train_state(model, variables, tx)
+        else:
+            # New optimizer for the new stage (reference creates a fresh
+            # SGD at train_transfer.py:455-460).
+            from livecell_tpu.parallel.train_step import TrainState
+
+            state = TrainState(step=state.step, params=state.params,
+                               batch_stats=state.batch_stats,
+                               opt_state=tx.init(state.params))
+        step_fn = make_train_step(model, tx)
+
+        print(f"\n=== Stage {stage}: lr={lr} freeze={freeze} "
+              f"({epochs} epochs) ===")
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            sums: Dict[str, float] = {}
+            n = 0
+            pred_counts = []
+            for images, targets, _ in train_ds.batches(
+                    args.batch_size, shuffle=True,
+                    seed=args.seed + stage * 100 + epoch, drop_last=True):
+                rng, sub = jax.random.split(rng)
+                state, m = step_fn(
+                    state, jnp.asarray(images),
+                    {k: jnp.asarray(v) for k, v in targets.items()}, sub)
+                for k, v in jax.tree.map(float, m).items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
+                if args.track_preds:
+                    det = eval_step(state.params, state.batch_stats,
+                                    jnp.asarray(images))
+                    pred_counts.append(float(
+                        (det.valid & (det.scores > 0.5)).sum(axis=1)
+                        .mean()))
+            dt = time.time() - t0
+            avg = {k: v / max(n, 1) for k, v in sums.items()}
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
+            print(f"Stage {stage} epoch {epoch}: {dt:.1f}s "
+                  f"({n * args.batch_size / dt:.1f} img/s) {msg}")
+            if pred_counts:
+                print(f"  preds>0.5 per image: {np.mean(pred_counts):.2f}")
+
+            if val_ds is not None:
+                vm = metrics_lib.evaluate(
+                    eval_step, state.params, state.batch_stats, val_ds,
+                    args.batch_size)
+                history.append(vm)
+                print(f"  Val: IoU {vm['mean_iou']:.4f} | "
+                      f"P {vm['mean_precision']:.4f} | "
+                      f"R {vm['mean_recall']:.4f} | "
+                      f"F1 {vm['f1_score']:.4f}")
+        return state
+
+    state = run_stage(1, args.stage1_epochs, args.stage1_lr, freeze=True)
+    state = run_stage(2, args.stage2_epochs, args.stage2_lr, freeze=False,
+                      state=state)
+
+    os.makedirs("models", exist_ok=True)
+    path = "models/maskrcnn_resnet50_two_stage.ckpt"
+    # Reference saves a bare state_dict (train_transfer.py:511-513).
+    checkpoint.save(path, state.params, state.batch_stats)
+    print(f"\nModel saved to {path}")
+
+    if test_ds is not None:
+        tm = metrics_lib.evaluate(eval_step, state.params,
+                                  state.batch_stats, test_ds,
+                                  args.batch_size)
+        print(f"Test: IoU {tm['mean_iou']:.4f} | "
+              f"P {tm['mean_precision']:.4f} | R {tm['mean_recall']:.4f} | "
+              f"F1 {tm['f1_score']:.4f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,19 @@ def test_roi_align_bf16_input_precision(rng):
     bf = np.asarray(roi_align(jnp.asarray(feat, jnp.bfloat16),
                               jnp.asarray(boxes)).astype(jnp.float32))
     np.testing.assert_allclose(bf, f32, rtol=0.05, atol=0.05)
+
+
+def test_roi_align_gather_matches_einsum(rng):
+    from livecell_tpu.ops.roi_align import roi_align_gather
+
+    feat = rng.standard_normal((20, 30, 8)).astype(np.float32)
+    boxes = np.array([
+        [4.0, 8.0, 60.0, 70.0],
+        [0.0, 0.0, 120.0, 80.0],
+        [100.0, 60.0, 118.0, 79.0],
+        [2.0, 2.0, 3.0, 3.0],
+        [-8.0, -8.0, 10.0, 10.0],
+    ], dtype=np.float32)
+    a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes)))
+    g = np.asarray(roi_align_gather(jnp.asarray(feat), jnp.asarray(boxes)))
+    np.testing.assert_allclose(g, a, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,130 @@
+"""Transfer Mask R-CNN (R50-FPN) shape/loss tests at a reduced scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from livecell_tpu.models.transfer import (
+    TransferConfig, create_transfer_model)
+
+TINY = TransferConfig(
+    tile_height=64, tile_width=96,
+    image_height=128, image_width=192, resized_width=192,
+    rpn_pre_topk_per_level=32, rpn_post_nms=32,
+    box_batch=32, mask_slots=8, max_detections=8, max_instances=8,
+    rpn_batch=32)
+
+
+@pytest.fixture(scope="module")
+def tmodel():
+    return create_transfer_model(rng=jax.random.key(0), cfg=TINY)
+
+
+def synthetic(b=1, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(size=(b, TINY.tile_height, TINY.tile_width, 3)
+                         ).astype(np.float32)
+    i = TINY.max_instances
+    boxes = np.zeros((b, i, 4), np.float32)
+    valid = np.zeros((b, i), bool)
+    for bi in range(b):
+        for k in range(3):
+            x1 = rng.uniform(0, 60); y1 = rng.uniform(0, 30)
+            boxes[bi, k] = [x1, y1, x1 + rng.uniform(10, 30),
+                            y1 + rng.uniform(10, 25)]
+            valid[bi, k] = True
+    return (jnp.asarray(images), {
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(valid.astype(np.int32)),
+        "mask28": jnp.asarray(
+            (rng.uniform(size=(b, i, 28, 28)) > 0.5).astype(np.float32)),
+        "valid": jnp.asarray(valid)})
+
+
+def test_transfer_param_tree(tmodel):
+    _, variables = tmodel
+    p = variables["params"]
+    assert "backbone" in p and "fpn" in p and "rpn" in p
+    assert p["box_head"]["fc6"]["kernel"].shape == (7 * 7 * 256, 1024)
+    assert p["box_predictor"]["cls_score"]["kernel"].shape == (1024, 2)
+    # R50 bottleneck blocks present
+    assert "layer3_5" in p["backbone"]
+
+
+def test_transfer_train_losses(tmodel):
+    model, variables = tmodel
+    images, targets = synthetic()
+    losses = model.apply(variables, images, targets, train=True,
+                         rngs={"sampling": jax.random.key(1)})
+    assert set(losses) == {"loss_objectness", "loss_rpn_box_reg",
+                           "loss_classifier", "loss_box_reg", "loss_mask"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_transfer_inference_shapes(tmodel):
+    model, variables = tmodel
+    images, _ = synthetic()
+    det = model.apply(variables, images, train=False)
+    d = TINY.max_detections
+    assert det.boxes.shape == (1, d, 4)
+    assert det.mask_probs.shape == (1, d, 28, 28)
+    # Boxes come back in tile coordinates.
+    b = np.asarray(det.boxes)[np.asarray(det.valid)]
+    if len(b):
+        assert (b[:, 2] <= TINY.tile_width + 1e-3).all()
+        assert (b[:, 3] <= TINY.tile_height + 1e-3).all()
+
+
+def test_torch_import_roundtrip(tmp_path, tmodel):
+    """Export a fake torchvision-style state_dict and import it."""
+    torch = pytest.importorskip("torch")
+
+    from livecell_tpu.models.torch_import import (
+        jax_tree_to_dict, load_torchvision_weights)
+
+    model, variables = tmodel
+    flat = jax_tree_to_dict(variables["params"])
+
+    sd = {}
+
+    def put(name, arr):
+        sd[name] = torch.from_numpy(np.asarray(arr, np.float32))
+
+    # Build a consistent fake state_dict from our own shapes.
+    put("backbone.body.conv1.weight",
+        np.transpose(flat["backbone/conv1/kernel"], (3, 2, 0, 1)) + 1.0)
+    put("backbone.body.bn1.weight", flat["backbone/bn1/scale"] + 1.0)
+    put("backbone.body.bn1.bias", flat["backbone/bn1/bias"])
+    put("backbone.body.bn1.running_mean",
+        np.zeros_like(flat["backbone/bn1/bias"]))
+    put("backbone.body.bn1.running_var",
+        np.ones_like(flat["backbone/bn1/bias"]))
+    put("roi_heads.box_head.fc6.weight", np.zeros((1024, 12544)) + 0.5)
+    put("roi_heads.box_head.fc6.bias", np.zeros(1024))
+    put("roi_heads.box_head.fc7.weight", np.zeros((1024, 1024)) + 0.25)
+    put("roi_heads.box_head.fc7.bias", np.zeros(1024))
+    put("rpn.head.cls_logits.weight",
+        np.transpose(flat["rpn/cls_logits/kernel"], (3, 2, 0, 1)) + 2.0)
+    put("rpn.head.cls_logits.bias", flat["rpn/cls_logits/bias"])
+    put("rpn.head.bbox_pred.weight",
+        np.transpose(flat["rpn/bbox_pred/kernel"], (3, 2, 0, 1)))
+    put("rpn.head.bbox_pred.bias", flat["rpn/bbox_pred/bias"])
+
+    path = tmp_path / "fake.pth"
+    torch.save(sd, path)
+
+    out = load_torchvision_weights(variables, str(path))
+    new_flat = jax_tree_to_dict(out["params"])
+    np.testing.assert_allclose(
+        new_flat["backbone/conv1/kernel"],
+        flat["backbone/conv1/kernel"] + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        new_flat["box_head/fc6/kernel"], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(
+        new_flat["rpn/cls_logits/kernel"],
+        flat["rpn/cls_logits/kernel"] + 2.0, rtol=1e-6)
+    # Untouched keys stay intact.
+    np.testing.assert_allclose(new_flat["box_predictor/cls_score/kernel"],
+                               flat["box_predictor/cls_score/kernel"])
