@@ -16,10 +16,29 @@ import time
 from typing import Dict, Optional
 
 
+def _load_dotenv():
+    """Load W&B credentials from .env like the reference trainers
+    (train_custom.py:11-13); python-dotenv is optional here."""
+    try:
+        from dotenv import load_dotenv  # type: ignore
+
+        load_dotenv()
+    except ImportError:
+        path = ".env"
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#") and "=" in line:
+                        k, v = line.split("=", 1)
+                        os.environ.setdefault(k.strip(), v.strip())
+
+
 class Tracker:
     def __init__(self, enabled: bool, project: str, name: str,
                  config: Optional[Dict] = None,
                  out_dir: str = "outputs/runs"):
+        _load_dotenv()
         self.enabled = enabled
         self.name = name
         self._wandb = None
