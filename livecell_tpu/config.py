@@ -140,6 +140,10 @@ class ModelConfig:
     # Compute dtype for the conv/matmul path (params stay f32).
     compute_dtype: str = "bfloat16"
 
+    # NMS backend: "xla" (lax.fori_loop greedy) or "pallas" (single
+    # fused VMEM kernel, TPU only).
+    nms_backend: str = "xla"
+
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes) * len(self.anchor_ratios)

@@ -186,7 +186,8 @@ class PackedDataset:
         h, w = self.images.shape[1:3]
         images = np.zeros((b, cfg.image_height, cfg.image_width, 3),
                           np.uint8)
-        images[:, :h, :w] = self.images[indices]
+        ch, cw = min(h, cfg.image_height), min(w, cfg.image_width)
+        images[:, :ch, :cw] = self.images[indices][:, :ch, :cw]
         boxes = np.zeros((b, i_max, 4), np.float32)
         labels = np.zeros((b, i_max), np.int32)
         mask28 = np.zeros((b, i_max, cfg.mask_size, cfg.mask_size),

@@ -122,13 +122,18 @@ class CustomMaskRCNN(nn.Module):
         feat0 = feats[0].astype(jnp.float32)
         b = images.shape[0]
 
+        if c.nms_backend == "pallas":
+            from livecell_tpu.ops.pallas_nms import nms_pallas as nms_fn
+        else:
+            nms_fn = nms_fixed
+
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
 
         def per_image(obj_i, feat_i):
             props = inference_proposals(
                 obj_i, anchors, img_size, c.infer_pre_topk,
                 c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
-                c.infer_min_box_size)
+                c.infer_min_box_size, nms_fn=nms_fn)
             rois = roi_align(feat_i, props.boxes, c.roi_output_size,
                              c.roi_spatial_scale, c.roi_sampling_ratio)
             return props, rois
@@ -147,8 +152,8 @@ class CustomMaskRCNN(nn.Module):
 
         def postprocess(boxes, scores, pvalid, probs):
             keep = (scores > c.det_score_thresh) & pvalid
-            idx, kvalid = nms_fixed(boxes, scores, c.det_nms_thresh,
-                                    c.max_detections, valid=keep)
+            idx, kvalid = nms_fn(boxes, scores, c.det_nms_thresh,
+                                 c.max_detections, valid=keep)
             return detector.Detections(
                 boxes=boxes[idx], scores=scores[idx],
                 labels=jnp.ones((c.max_detections,), jnp.int32),

@@ -83,6 +83,7 @@ def inference_proposals(
     nms_thresh: float = 0.4,
     post_nms: int = 50,
     min_size: float = 10.0,
+    nms_fn=nms_fixed,
 ) -> Proposals:
     """Inference-time proposals (reference proposal_utils.py:33-59):
     topk -> score>thresh -> clip -> min-size -> greedy NMS -> top post_nms.
@@ -94,6 +95,6 @@ def inference_proposals(
     boxes = clip_boxes(boxes, image_size)
     valid &= small_box_mask(boxes, min_size)
 
-    keep_idx, keep_valid = nms_fixed(
+    keep_idx, keep_valid = nms_fn(
         boxes, top_scores, nms_thresh, post_nms, valid)
     return Proposals(boxes[keep_idx], top_scores[keep_idx], keep_valid)

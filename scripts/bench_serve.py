@@ -1,0 +1,104 @@
+"""Secondary benchmarks (BASELINE.md configs 1, 2, 5).
+
+bench.py at the repo root prints the single headline metric (training
+images/sec). This script measures the rest:
+
+  1. tiling preprocessor throughput (frames/sec, host),
+  2. single-tile inference latency, batch=1,
+  5. end-to-end full-frame serve: 25-tile batched inference + fused
+     dedup + stitch (p50 latency).
+
+Each result prints as one JSON line.
+
+    python scripts/bench_serve.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def bench_tiling() -> dict:
+    from livecell_tpu.data.tiling import LIVECellPreprocessor
+    from tests.util_fakedata import make_fake_livecell
+
+    src = Path(tempfile.mkdtemp())
+    out = Path(tempfile.mkdtemp())
+    n_frames = 8
+    make_fake_livecell(src, images_per_split=(n_frames, 1, 1),
+                       cells_per_image=40)
+    pre = LIVECellPreprocessor(str(src), str(out),
+                               total_images=int(n_frames / 0.7))
+    t0 = time.perf_counter()
+    pre.preprocess()
+    dt = time.perf_counter() - t0
+    done = len(list((out / "train" / "images").glob("*.png"))) / 25
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return {"metric": "tiling_frames_per_sec",
+            "value": round(done / dt, 3), "unit": "frames/sec"}
+
+
+def bench_inference() -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from livecell_tpu.config import Config
+    from livecell_tpu.models.mask_rcnn import create_model
+    from livecell_tpu.serve.stitch import make_frame_predictor
+    from livecell_tpu.utils.compilation_cache import enable_compilation_cache
+    from livecell_tpu.utils.profiling import time_fn
+
+    enable_compilation_cache()
+    cfg = Config()
+    model, variables = create_model(cfg.model, jax.random.key(0))
+    rng = np.random.default_rng(0)
+
+    results = []
+
+    # Config 2: single-tile inference, batch=1.
+    tile = jnp.asarray(rng.uniform(size=(
+        1, cfg.model.image_height, cfg.model.image_width, 3))
+        .astype(np.float32))
+
+    @jax.jit
+    def infer(img):
+        return model.apply(variables, img, train=False)
+
+    t = time_fn(infer, tile, warmup=3, iters=20)
+    results.append({"metric": "single_tile_inference_p50_ms",
+                    "value": round(t["median_s"] * 1e3, 3), "unit": "ms"})
+
+    # Config 5: full-frame tiled serve (25 tiles -> detections).
+    predict = make_frame_predictor(model, variables, cfg.tile)
+    tiles = (rng.uniform(size=(cfg.tile.num_tiles, cfg.tile.tile_height,
+                               cfg.tile.tile_width, 3)) * 255
+             ).astype(np.uint8)
+    predict(tiles)  # compile
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        predict(tiles)
+        times.append(time.perf_counter() - t0)
+    results.append({"metric": "full_frame_serve_p50_ms",
+                    "value": round(float(np.median(times)) * 1e3, 3),
+                    "unit": "ms"})
+    return results
+
+
+def main():
+    out = [bench_tiling()] + bench_inference()
+    for row in out:
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
