@@ -31,7 +31,10 @@ def box_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     inter = wh[..., 0] * wh[..., 1]
 
     union = area_a[:, None] + area_b[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    # Divide by a floored denominator so union==0 never materializes a
+    # NaN (jnp.where would discard it, but intermediate NaNs poison
+    # reverse-mode gradients and jax_debug_nans runs).
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
 
 
 def encode_boxes(boxes: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:

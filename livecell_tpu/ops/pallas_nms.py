@@ -33,9 +33,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_val_ref, live_ref,
                 *, max_keep: int, iou_thresh: float, n: int):
+    """All updates are full-row vector ops (Mosaic forbids scalar VMEM
+    stores); the pick's box coordinates come out via one-hot reductions
+    and results land in the output rows via one-hot selects."""
     live_ref[:] = scores_ref[:]
+    out_idx_ref[:] = jnp.zeros_like(out_idx_ref)
+    out_val_ref[:] = jnp.zeros_like(out_val_ref)
     n_pad = live_ref.shape[1]
+    k_pad = out_idx_ref.shape[1]
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+
+    bx1 = boxes_ref[0:1, :]
+    by1 = boxes_ref[1:2, :]
+    bx2 = boxes_ref[2:3, :]
+    by2 = boxes_ref[3:4, :]
 
     def body(k, _):
         live = live_ref[:]
@@ -43,16 +55,13 @@ def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_val_ref, live_ref,
         pick = jnp.argmax(live.reshape(-1)).astype(jnp.int32)
         ok = m > _NEG / 2
 
-        x1 = boxes_ref[0, pick]
-        y1 = boxes_ref[1, pick]
-        x2 = boxes_ref[2, pick]
-        y2 = boxes_ref[3, pick]
+        onehot = (lane_idx == pick).astype(jnp.float32)
+        x1 = jnp.sum(bx1 * onehot)
+        y1 = jnp.sum(by1 * onehot)
+        x2 = jnp.sum(bx2 * onehot)
+        y2 = jnp.sum(by2 * onehot)
         area_p = (x2 - x1) * (y2 - y1)
 
-        bx1 = boxes_ref[0:1, :]
-        by1 = boxes_ref[1:2, :]
-        bx2 = boxes_ref[2:3, :]
-        by2 = boxes_ref[3:4, :]
         ix = jnp.maximum(0.0, jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1))
         iy = jnp.maximum(0.0, jnp.minimum(y2, by2) - jnp.maximum(y1, by1))
         inter = ix * iy
@@ -63,8 +72,9 @@ def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_val_ref, live_ref,
         suppress = (iou > iou_thresh) | (lane_idx == pick)
         live_ref[:] = jnp.where(ok & suppress, _NEG, live)
 
-        out_idx_ref[0, k] = pick
-        out_val_ref[0, k] = ok.astype(jnp.int32)
+        kvec = slot_idx == k
+        out_idx_ref[:] = jnp.where(kvec, pick, out_idx_ref[:])
+        out_val_ref[:] = jnp.where(kvec & ok, 1, out_val_ref[:])
         return 0
 
     jax.lax.fori_loop(0, max_keep, body, 0)

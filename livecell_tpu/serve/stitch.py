@@ -97,10 +97,17 @@ class StitchedDetections(NamedTuple):
 
 def make_frame_predictor(model, variables, tile_cfg: TileConfig,
                          score_threshold: float = 0.5,
-                         mask_threshold: float = 0.4):
+                         mask_threshold: float = 0.4,
+                         mesh=None, max_frame_dets: int = 256):
     """Build a jitted 25-tile frame predictor with fused dedup.
 
     Returns predict(tiles_u8 [T, th, tw, 3]) -> StitchedDetections.
+
+    With `mesh`, the frame's tiles are sharded across the 'data' axis —
+    this workload's analog of sequence parallelism (SURVEY.md §2.7):
+    each chip detects on its share of the overlapping tiles and XLA
+    gathers the fixed-slot detections. Tiles are padded to a multiple of
+    the axis size with zero claim-regions, so pad tiles keep nothing.
     """
     import jax
     import jax.numpy as jnp
@@ -115,6 +122,23 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
     t_idx = np.arange(tile_cfg.num_tiles)
     offs = np.stack([(t_idx % tpr) * mini_w, (t_idx // tpr) * mini_h],
                     axis=1).astype(np.float32)     # [T, 2] (x, y)
+
+    n_real = tile_cfg.num_tiles
+    shard_n = 1
+    bsh = None
+    if mesh is not None:
+        from livecell_tpu.parallel.mesh import batch_sharding
+
+        shard_n = int(mesh.devices.shape[0])
+        bsh = batch_sharding(mesh)
+    n_pad_tiles = ((n_real + shard_n - 1) // shard_n) * shard_n
+    if n_pad_tiles > n_real:
+        regions = np.concatenate(
+            [regions, np.zeros((n_pad_tiles - n_real, th, tw),
+                               np.float32)])
+    tw_pad = ((tw + 7) // 8) * 8
+    max_frame_dets = min(max_frame_dets,
+                         n_pad_tiles * mcfg.infer_post_nms)
 
     @jax.jit
     def predict(tiles_u8):
@@ -132,7 +156,7 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
             masks = masks[:, :th, :tw] > 0
             area = masks.sum(axis=(1, 2)).astype(jnp.float32)
             inside = (masks * region[None]).sum(axis=(1, 2))
-            frac = jnp.where(area > 0, inside / area, 0.0)
+            frac = jnp.where(area > 0, inside / jnp.maximum(area, 1.0), 0.0)
             keep = valid & (scores > score_threshold) & \
                 (frac > mask_threshold)
             return masks, keep
@@ -140,19 +164,48 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
         masks, keep = jax.vmap(per_tile)(
             det.boxes, det.mask_probs, det.valid, det.scores,
             jnp.asarray(regions))
-        return det.boxes, det.scores, masks, keep
+
+        # Global compaction to max_frame_dets slots + bit-packed masks:
+        # the full [T, D, th, tw] mask tensor is ~100 MB and the
+        # host<->device link is the serve-latency bottleneck; survivors
+        # packed 8px/byte are ~2 MB.
+        t_total, d = keep.shape
+        real_tile = jnp.arange(t_total) < n_real
+        pri = jnp.where(keep & real_tile[:, None],
+                        det.scores + 1.0, 0.0).reshape(-1)
+        top, idx = jax.lax.top_k(pri, max_frame_dets)
+        sel_valid = top > 0.5
+        sel_masks = masks.reshape(t_total * d, th, tw)[idx]
+        packed = jnp.einsum(
+            "mhwb,b->mhw",
+            jnp.pad(sel_masks, ((0, 0), (0, 0), (0, tw_pad - tw)))
+            .reshape(max_frame_dets, th, tw_pad // 8, 8)
+            .astype(jnp.uint8),
+            jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8),
+            preferred_element_type=jnp.uint8)
+        sel_boxes = det.boxes.reshape(t_total * d, 4)[idx]
+        sel_scores = det.scores.reshape(-1)[idx]
+        return sel_boxes, sel_scores, packed, idx, sel_valid
 
     def run(tiles_u8: np.ndarray) -> StitchedDetections:
-        boxes, scores, masks, keep = jax.tree.map(
-            np.asarray, predict(tiles_u8))
-        t_ids, d_ids = np.nonzero(keep)
-        sel_off = offs[t_ids]
-        global_boxes = boxes[t_ids, d_ids] + np.concatenate(
-            [sel_off, sel_off], axis=1)
+        if len(tiles_u8) < n_pad_tiles:
+            tiles_u8 = np.concatenate(
+                [tiles_u8, np.zeros((n_pad_tiles - len(tiles_u8), th, tw,
+                                     3), np.uint8)])
+        tiles_dev = jnp.asarray(tiles_u8)
+        if bsh is not None:
+            tiles_dev = jax.device_put(tiles_dev, bsh)
+        boxes, scores, packed, idx, sel_valid = jax.tree.map(
+            np.asarray, predict(tiles_dev))
+        v = np.array(sel_valid)
+        masks = np.unpackbits(packed[v], axis=-1)[:, :, :tw].astype(bool)
+        t_ids = idx[v] // mcfg.infer_post_nms
+        sel_off = offs[np.minimum(t_ids, len(offs) - 1)]
+        global_boxes = boxes[v] + np.concatenate([sel_off, sel_off],
+                                                 axis=1)
         return StitchedDetections(
-            boxes=global_boxes, scores=scores[t_ids, d_ids],
-            masks=masks[t_ids, d_ids], offsets=sel_off,
-            tile_nums=t_ids)
+            boxes=global_boxes, scores=scores[v], masks=masks,
+            offsets=sel_off, tile_nums=t_ids)
 
     return run
 

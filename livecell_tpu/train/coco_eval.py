@@ -32,7 +32,7 @@ def mask_iou_matrix(det_masks, gt_masks):
     area_d = d.sum(axis=1)[:, None]
     area_g = g.sum(axis=1)[None, :]
     union = area_d + area_g - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
 
 
 def greedy_match(scores: np.ndarray, iou: np.ndarray, n_gt: int,

@@ -91,6 +91,11 @@ def main(argv=None, config=None):
     parser.add_argument("--coco_ap", action="store_true",
                         help="also compute COCO mask/box AP on the test "
                              "split (the BASELINE headline metric)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint directory to resume from")
+    parser.add_argument("--save_every", type=int, default=0,
+                        help="also checkpoint every N epochs (0 = only at "
+                             "the end, the reference behavior)")
     args = parser.parse_args(argv)
 
     import jax
@@ -168,7 +173,30 @@ def main(argv=None, config=None):
         mesh = make_mesh()
         print(f"  Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
+    start_epoch = 1
     state = create_train_state(model, variables, tx, mesh=mesh)
+    if args.resume:
+        ckpt = checkpoint.load(args.resume)
+        from livecell_tpu.parallel.train_step import TrainState
+
+        meta = ckpt.get("meta", {})
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        opt_state = ckpt.get("opt_state")
+        if opt_state is not None:
+            # Orbax restores the optimizer pytree as plain dicts; graft
+            # the leaves back onto optax's NamedTuple structure.
+            ref = tx.init(ckpt["params"])
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(ref),
+                jax.tree_util.tree_leaves(opt_state))
+        else:
+            opt_state = tx.init(ckpt["params"])
+        state = TrainState(
+            step=jnp.asarray((start_epoch - 1) * steps_per_epoch,
+                             jnp.int32),
+            params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+            opt_state=opt_state)
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
     train_step = make_train_step(model, tx, mesh=mesh)
     eval_step = make_eval_step(model, mesh=None)
 
@@ -184,7 +212,7 @@ def main(argv=None, config=None):
 
     from livecell_tpu.utils.prefetch import prefetch
 
-    for epoch in range(1, args.num_epochs + 1):
+    for epoch in range(start_epoch, args.num_epochs + 1):
         t_epoch = time.time()
         step_metrics = []   # device scalars; fetched once per epoch so
         mems = []           # the host never blocks the dispatch pipeline
@@ -250,6 +278,16 @@ def main(argv=None, config=None):
                 "val/recall": vm["mean_recall"],
                 "val/f1_score": vm["f1_score"],
             })
+
+        if args.save_every and epoch % args.save_every == 0 and \
+                epoch < args.num_epochs:
+            os.makedirs("models", exist_ok=True)
+            checkpoint.save(
+                f"models/{args.model}_maskrcnn_epoch{epoch}.ckpt",
+                state.params, state.batch_stats,
+                opt_state=state.opt_state, epoch=epoch,
+                train_losses=train_losses, val_metrics=val_history,
+                param_info=param_info)
 
     os.makedirs("models", exist_ok=True)
     model_path = f"models/{args.model}_maskrcnn_{args.num_epochs}epochs.ckpt"

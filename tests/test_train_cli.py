@@ -73,3 +73,21 @@ def test_tracker_jsonl_fallback(tmp_path, monkeypatch):
     events = [ln["event"] for ln in lines]
     assert events == ["init", "log", "config_update"]
     assert lines[1]["train/total_loss"] == 2.0
+
+
+def test_train_custom_resume(small_split, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+    from livecell_tpu.train.train_custom import main
+
+    cfg = Config(model=dataclasses.replace(TINY, max_instances=32))
+    base = ["--data_dir", str(small_split), "--batch_size", "4",
+            "--lr", "0.001"]
+    main(base + ["--num_epochs", "1"], config=cfg)
+    # Resume from the epoch-1 checkpoint and finish epoch 2.
+    state = main(base + ["--num_epochs", "2", "--resume",
+                         "models/custom_maskrcnn_1epochs.ckpt"],
+                 config=cfg)
+    steps_per_epoch = 50 // 4
+    assert int(state.step) == 2 * steps_per_epoch
+    assert os.path.isdir("models/custom_maskrcnn_2epochs.ckpt")
