@@ -46,7 +46,9 @@ def main():
     rng = np.random.default_rng(0)
     b, h, w, i = BATCH_SIZE, cfg.image_height, cfg.image_width, \
         cfg.max_instances
-    images = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+    # uint8 batches + on-device normalization: the production path.
+    images = jnp.asarray(
+        (rng.uniform(size=(b, h, w, 3)) * 255).astype(np.uint8))
     boxes = np.zeros((b, i, 4), np.float32)
     n_inst = 40
     for bi in range(b):
@@ -62,7 +64,7 @@ def main():
         "boxes": jnp.asarray(boxes),
         "labels": jnp.asarray(valid.astype(np.int32)),
         "mask28": jnp.asarray(
-            (rng.uniform(size=(b, i, 28, 28)) > 0.5).astype(np.float32)),
+            (rng.uniform(size=(b, i, 28, 28)) > 0.5).astype(np.uint8) * 255),
         "valid": jnp.asarray(valid),
     }
 

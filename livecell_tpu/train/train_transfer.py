@@ -28,14 +28,18 @@ FROZEN_STAGE1 = ("backbone", "fpn", "rpn")
 
 
 def stage_optimizer(lr: float, momentum: float, weight_decay: float,
-                    freeze: bool):
+                    freeze: bool, clip_norm: float = 0.0):
     """SGD(momentum, wd); stage 1 zeroes updates for backbone/FPN/RPN
-    (reference freeze_backbone, train_transfer.py:40-47)."""
+    (reference freeze_backbone, train_transfer.py:40-47). Optional
+    global-norm clipping (not in the reference) for from-scratch runs."""
     import optax
 
-    sgd = optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.sgd(lr, momentum=momentum))
+    parts = []
+    if clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts += [optax.add_decayed_weights(weight_decay),
+              optax.sgd(lr, momentum=momentum)]
+    sgd = optax.chain(*parts)
     if not freeze:
         return sgd
 
@@ -59,6 +63,10 @@ def main(argv=None, transfer_cfg=None):
     parser.add_argument("--pretrained", type=str, default=None,
                         help="local torchvision maskrcnn .pth state_dict")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--clip_grad_norm", type=float, default=0.0,
+                        help="global grad-norm clip (0 = off, the "
+                             "reference behavior). Strongly recommended "
+                             "when training without --pretrained")
     parser.add_argument("--track_preds", action="store_true",
                         help="per-batch eval forward counting preds>0.5 "
                              "(reference train_transfer.py:117-125)")
@@ -85,7 +93,12 @@ def main(argv=None, transfer_cfg=None):
         print(f"  Importing torchvision weights from {args.pretrained}")
     else:
         print("  WARNING: no --pretrained checkpoint; backbone is random "
-              "init (no network access for torchvision downloads)")
+              "init (no network access for torchvision downloads).")
+        if args.clip_grad_norm == 0:
+            print("  WARNING: the reference two-stage LRs assume a "
+                  "pretrained backbone and DIVERGE from random init; "
+                  "use --clip_grad_norm 10 --stage1_lr 1e-4 (or provide "
+                  "--pretrained) for a stable from-scratch run.")
 
     # Dataset packing reuses the custom pipeline; instance slots sized by
     # the transfer config.
@@ -108,7 +121,8 @@ def main(argv=None, transfer_cfg=None):
                   state=None):
         nonlocal rng
         tx = stage_optimizer(lr, cfg.transfer.momentum,
-                             cfg.transfer.weight_decay, freeze)
+                             cfg.transfer.weight_decay, freeze,
+                             args.clip_grad_norm)
         if state is None:
             state = create_train_state(model, variables, tx)
         else:
