@@ -17,8 +17,10 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 REFERENCE_TRAIN_IMG_PER_SEC = 10.0
-BATCH_SIZE = 8
+BATCH_SIZE = int(os.environ.get("LIVECELL_BENCH_BS", "32"))
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 

@@ -144,6 +144,10 @@ class ModelConfig:
     # fused VMEM kernel, TPU only).
     nms_backend: str = "xla"
 
+    # RoIAlign einsum precision ("default" = one MXU pass on bf16
+    # inputs; "highest" = exact fp32 parity with the CUDA kernel).
+    roi_precision: str = "default"
+
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes) * len(self.anchor_ratios)

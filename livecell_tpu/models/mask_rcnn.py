@@ -96,7 +96,8 @@ class CustomMaskRCNN(nn.Module):
 
         feat0 = feats[0][0].astype(jnp.float32)
         rois = roi_align(feat0, props.boxes, c.roi_output_size,
-                         c.roi_spatial_scale, c.roi_sampling_ratio)
+                         c.roi_spatial_scale, c.roi_sampling_ratio,
+                         precision=c.roi_precision)
         cls_logits, box_deltas = self.box_head(rois)
         mask_logits = self.mask_head(rois)
 
@@ -135,7 +136,8 @@ class CustomMaskRCNN(nn.Module):
                 c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
                 c.infer_min_box_size, nms_fn=nms_fn)
             rois = roi_align(feat_i, props.boxes, c.roi_output_size,
-                             c.roi_spatial_scale, c.roi_sampling_ratio)
+                             c.roi_spatial_scale, c.roi_sampling_ratio,
+                             precision=c.roi_precision)
             return props, rois
 
         props, rois = jax.vmap(per_image)(obj, feat0)

@@ -27,12 +27,17 @@ def roi_align(
     out_size: int = 7,
     spatial_scale: float = 0.25,
     sampling_ratio: int = 2,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """RoIAlign over a single feature map.
 
     Args:
       features: [H, W, C] (NHWC, single image).
       boxes: [K, 4] xyxy in image coordinates.
+      precision: einsum precision. "highest" reproduces the fp32 CUDA
+        kernel bit-for-bit (used by the golden tests); the model's hot
+        path passes "default" — with bf16 features the 3-6x MXU pass
+        cost of emulated fp32 buys nothing.
 
     Returns:
       [K, out_size, out_size, C] pooled features.
@@ -47,9 +52,9 @@ def roi_align(
 
     f32 = features.astype(jnp.float32)
     t = jnp.einsum("kyh,hwc->kywc", wy, f32,
-                   preferred_element_type=jnp.float32, precision="highest")
+                   preferred_element_type=jnp.float32, precision=precision)
     s = jnp.einsum("kxw,kywc->kyxc", wx, t,
-                   preferred_element_type=jnp.float32, precision="highest")
+                   preferred_element_type=jnp.float32, precision=precision)
 
     s = s.reshape(k, out_size, sampling_ratio, out_size, sampling_ratio, c)
     pooled = s.mean(axis=(2, 4))
