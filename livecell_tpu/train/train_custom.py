@@ -93,6 +93,11 @@ def main(argv=None, config=None):
                              "split (the BASELINE headline metric)")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint directory to resume from")
+    parser.add_argument("--device_data", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="keep the whole split in device memory and "
+                             "gather batches on-device (auto: on for "
+                             "single-device runs when the split fits)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
@@ -200,6 +205,19 @@ def main(argv=None, config=None):
     train_step = make_train_step(model, tx, mesh=mesh)
     eval_step = make_eval_step(model, mesh=None)
 
+    device_train = None
+    use_device_data = args.device_data == "on" or (
+        args.device_data == "auto" and mesh is None)
+    if use_device_data:
+        from livecell_tpu.data.device_data import (
+            DeviceDataset, make_indexed_train_step)
+
+        device_train = DeviceDataset(train_ds)
+        print(f"  HBM-resident training data: "
+              f"{device_train.nbytes / 2**20:.0f} MB for "
+              f"{len(device_train)} tiles")
+        indexed_step = make_indexed_train_step(model, tx, device_train)
+
     bsh = batch_sharding(mesh) if mesh is not None else None
 
     def put(x):
@@ -217,16 +235,27 @@ def main(argv=None, config=None):
         step_metrics = []   # device scalars; fetched once per epoch so
         mems = []           # the host never blocks the dispatch pipeline
         n_steps = 0
-        for images, targets, _ in prefetch(train_ds.batches(
-                args.batch_size, shuffle=True, seed=args.seed + epoch,
-                drop_last=True)):
-            rng, sub = jax.random.split(rng)
-            state, m = train_step(state, put(images),
-                                  {k: put(v) for k, v in targets.items()},
-                                  sub)
-            step_metrics.append(m)
+        if device_train is not None:
+            from livecell_tpu.data.device_data import epoch_indices
+
+            for idx in epoch_indices(len(device_train), args.batch_size,
+                                     True, args.seed + epoch):
+                rng, sub = jax.random.split(rng)
+                state, m = indexed_step(state, jnp.asarray(idx), sub)
+                step_metrics.append(m)
+                n_steps += 1
             mems.append(device_memory_mb())
-            n_steps += 1
+        else:
+            for images, targets, _ in prefetch(train_ds.batches(
+                    args.batch_size, shuffle=True, seed=args.seed + epoch,
+                    drop_last=True)):
+                rng, sub = jax.random.split(rng)
+                state, m = train_step(
+                    state, put(images),
+                    {k: put(v) for k, v in targets.items()}, sub)
+                step_metrics.append(m)
+                mems.append(device_memory_mb())
+                n_steps += 1
 
         step_metrics = jax.device_get(step_metrics)
         epoch_time = time.time() - t_epoch
