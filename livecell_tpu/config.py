@@ -148,6 +148,14 @@ class ModelConfig:
     # inputs; "highest" = exact fp32 parity with the CUDA kernel).
     roi_precision: str = "default"
 
+    # Quirk-fix switches. The reference trains the box/mask heads on
+    # batch element 0 only and supervises RPN objectness of image 0
+    # against batch-concatenated GT (SURVEY.md §3.1). Defaults preserve
+    # those semantics for comparability; enabling trains every image in
+    # the batch (per-image RPN matching included), which uses a DP batch
+    # properly.
+    heads_all_images: bool = False
+
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes) * len(self.anchor_ratios)

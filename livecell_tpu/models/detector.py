@@ -65,14 +65,25 @@ def rpn_loss(
     rng: jax.Array,
     cfg: ModelConfig,
 ) -> jnp.ndarray:
-    """Balanced-sample objectness BCE (reference rpn.py:42-121)."""
-    n = anchors.shape[0]
-    # Reference quirk: flat indices into [B*H*W*A] never exceed N, so only
-    # image 0's scores are supervised.
-    scores = cls_level0[0].reshape(-1).astype(jnp.float32)  # [N]
+    """Balanced-sample objectness BCE (reference rpn.py:42-121).
 
-    boxes_all = gt_boxes.reshape(-1, 4)
-    valid_all = gt_valid.reshape(-1)
+    Reference quirk: flat indices into [B*H*W*A] never exceed N, so only
+    image 0's scores are supervised, while GT comes concatenated from
+    the whole batch."""
+    scores = cls_level0[0].reshape(-1).astype(jnp.float32)  # [N]
+    return rpn_loss_single(scores, anchors, gt_boxes.reshape(-1, 4),
+                           gt_valid.reshape(-1), rng, cfg)
+
+
+def rpn_loss_single(
+    scores: jnp.ndarray,           # [N] flat objectness logits
+    anchors: jnp.ndarray,          # [N, 4]
+    boxes_all: jnp.ndarray,        # [M, 4]
+    valid_all: jnp.ndarray,        # [M]
+    rng: jax.Array,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    n = anchors.shape[0]
     ious = box_iou(anchors, boxes_all)                       # [N, B*I]
     ious = jnp.where(valid_all[None, :], ious, -1.0)
     max_iou = ious.max(axis=1)

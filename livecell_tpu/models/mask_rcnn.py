@@ -82,32 +82,72 @@ class CustomMaskRCNN(nn.Module):
 
         rng = self.make_rng("sampling")
         k_rpn, k_prop = jax.random.split(rng)
+        b = images.shape[0]
 
-        loss_rpn = detector.rpn_loss(
-            cls_scores[0].astype(jnp.float32), anchors,
-            targets["boxes"], targets["valid"], k_rpn, c)
+        if not c.heads_all_images:
+            # Reference semantics: RPN loss on image-0 scores vs
+            # batch-concatenated GT; heads train on image 0 only
+            # (custom_maskrcnn.py:108-111, SURVEY.md §3.1).
+            loss_rpn = detector.rpn_loss(
+                cls_scores[0].astype(jnp.float32), anchors,
+                targets["boxes"], targets["valid"], k_rpn, c)
 
-        # Proposals from image 0's level-0 objectness
-        # (custom_maskrcnn.py:108-111); heads train on image 0 only.
-        obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
-        props = training_proposals(
-            obj0, anchors, img_size, k_prop, c.train_pre_topk,
-            c.train_score_thresh, c.train_min_box_size, c.train_num_samples)
+            obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
+            props = training_proposals(
+                obj0, anchors, img_size, k_prop, c.train_pre_topk,
+                c.train_score_thresh, c.train_min_box_size,
+                c.train_num_samples)
 
-        feat0 = feats[0][0].astype(jnp.float32)
-        rois = roi_align(feat0, props.boxes, c.roi_output_size,
-                         c.roi_spatial_scale, c.roi_sampling_ratio,
-                         precision=c.roi_precision)
-        cls_logits, box_deltas = self.box_head(rois)
-        mask_logits = self.mask_head(rois)
+            feat0 = feats[0][0].astype(jnp.float32)
+            rois = roi_align(feat0, props.boxes, c.roi_output_size,
+                             c.roi_spatial_scale, c.roi_sampling_ratio,
+                             precision=c.roi_precision)
+            cls_logits, box_deltas = self.box_head(rois)
+            mask_logits = self.mask_head(rois)
 
-        t = detector.match_head_targets(
-            props.boxes, props.valid, targets["boxes"][0],
-            targets["valid"][0], targets["mask28"][0], c)
-        losses = detector.box_losses(cls_logits, box_deltas, t,
+            t = detector.match_head_targets(
+                props.boxes, props.valid, targets["boxes"][0],
+                targets["valid"][0], targets["mask28"][0], c)
+            losses = detector.box_losses(cls_logits, box_deltas, t,
+                                         c.num_classes)
+            losses["loss_mask"] = detector.mask_loss(mask_logits, t)
+            losses["loss_rpn_cls"] = loss_rpn
+            return losses
+
+        # Fixed mode: every image supervises the RPN (per-image matching)
+        # and feeds the heads; head GEMMs batch over B*K ROIs on the MXU.
+        obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
+        feat0 = feats[0].astype(jnp.float32)
+        keys = jax.random.split(k_prop, b)
+        rpn_keys = jax.random.split(k_rpn, b)
+
+        def per_image(obj_i, feat_i, boxes_i, valid_i, mask28_i, kp, kr):
+            loss_rpn = detector.rpn_loss_single(
+                obj_i, anchors, boxes_i, valid_i, kr, c)
+            props = training_proposals(
+                obj_i, anchors, img_size, kp, c.train_pre_topk,
+                c.train_score_thresh, c.train_min_box_size,
+                c.train_num_samples)
+            rois = roi_align(feat_i, props.boxes, c.roi_output_size,
+                             c.roi_spatial_scale, c.roi_sampling_ratio,
+                             precision=c.roi_precision)
+            t = detector.match_head_targets(
+                props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
+            return rois, t, loss_rpn
+
+        rois, t, loss_rpn = jax.vmap(per_image)(
+            obj, feat0, targets["boxes"], targets["valid"],
+            targets["mask28"], keys, rpn_keys)
+
+        flat_rois = rois.reshape((-1,) + rois.shape[2:])
+        cls_logits, box_deltas = self.box_head(flat_rois)
+        mask_logits = self.mask_head(flat_rois)
+        flat_t = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), t)
+        losses = detector.box_losses(cls_logits, box_deltas, flat_t,
                                      c.num_classes)
-        losses["loss_mask"] = detector.mask_loss(mask_logits, t)
-        losses["loss_rpn_cls"] = loss_rpn
+        losses["loss_mask"] = detector.mask_loss(mask_logits, flat_t)
+        losses["loss_rpn_cls"] = loss_rpn.mean()
         return losses
 
     # ------------------------------------------------------------------

@@ -98,6 +98,11 @@ def main(argv=None, config=None):
                         help="keep the whole split in device memory and "
                              "gather batches on-device (auto: on for "
                              "single-device runs when the split fits)")
+    parser.add_argument("--fixed_heads", action="store_true",
+                        help="train box/mask heads + RPN on every image "
+                             "in the batch instead of the reference's "
+                             "image-0-only quirk (ModelConfig."
+                             "heads_all_images)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
@@ -120,6 +125,10 @@ def main(argv=None, config=None):
     enable_compilation_cache()
     cfg = config or Config()
     mcfg = cfg.model
+    if args.fixed_heads:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, heads_all_images=True)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")

@@ -128,3 +128,30 @@ def test_inference_jit_static(model_and_vars):
     d1 = infer(images)
     d2 = infer(images + 0.01)
     assert d1.boxes.shape == d2.boxes.shape
+
+
+def test_train_forward_heads_all_images():
+    """Fixed mode: every image supervises RPN + heads (quirk-fix flag)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, heads_all_images=True)
+    model, variables = create_model(cfg, jax.random.key(0))
+    images, targets = synthetic_batch(cfg)
+    losses, _ = model.apply(
+        variables, images, targets, train=True,
+        rngs={"sampling": jax.random.key(1)}, mutable=["batch_stats"])
+    assert set(losses) == {"loss_rpn_cls", "loss_box_cls", "loss_box_reg",
+                           "loss_mask"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, targets, train=True,
+            rngs={"sampling": jax.random.key(2)}, mutable=["batch_stats"])
+        return sum(out.values())
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
