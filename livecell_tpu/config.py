@@ -156,6 +156,13 @@ class ModelConfig:
     # properly.
     heads_all_images: bool = False
 
+    # The reference computes RPN bbox deltas but never decodes them —
+    # proposals and final boxes are raw anchors (proposal_utils.py:25,47;
+    # SURVEY.md §3.1). With decode_proposals=True the deltas are trained
+    # (smooth-L1 on positive anchors) and applied, and the box head's
+    # class-1 deltas refine final boxes at inference.
+    decode_proposals: bool = False
+
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes) * len(self.anchor_ratios)

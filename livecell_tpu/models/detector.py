@@ -114,6 +114,30 @@ def rpn_loss_single(
         has_gt, jnp.where(has_sample, loss, 0.1 * scores.mean()), 0.1)
 
 
+def rpn_reg_loss(
+    deltas: jnp.ndarray,           # [N, 4] RPN box deltas
+    anchors: jnp.ndarray,          # [N, 4]
+    gt_boxes: jnp.ndarray,         # [M, 4]
+    gt_valid: jnp.ndarray,         # [M]
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Smooth-L1 delta regression on positive anchors.
+
+    The reference defines no RPN box loss (its deltas are dead weight,
+    SURVEY.md §2.1); this loss exists for the decode_proposals fixed
+    mode so the decoded proposals are meaningful."""
+    ious = box_iou(anchors, gt_boxes)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou = ious.max(axis=1)
+    matched = ious.argmax(axis=1)
+    pos = (max_iou >= cfg.rpn_pos_iou).astype(jnp.float32)
+
+    targets = encode_boxes(gt_boxes[matched], anchors)
+    reg = smooth_l1(deltas.astype(jnp.float32), targets).mean(axis=1)
+    loss = (reg * pos).sum() / jnp.maximum(pos.sum(), 1.0)
+    return jnp.where(gt_valid.any(), loss, 0.0)
+
+
 class HeadTargets(NamedTuple):
     cls_labels: jnp.ndarray    # [K] int (0 bg / 1 fg)
     cls_weight: jnp.ndarray    # [K] float (proposal validity)

@@ -28,6 +28,7 @@ from livecell_tpu.models.heads import BoxHead, MaskHead
 from livecell_tpu.models.resnet import ResNetBackbone
 from livecell_tpu.models.rpn import RPNHead
 from livecell_tpu.ops.anchors import generate_anchors
+from livecell_tpu.ops.boxes import clip_boxes, decode_boxes
 from livecell_tpu.ops.nms import nms_fixed
 from livecell_tpu.ops.proposals import (
     inference_proposals, training_proposals)
@@ -76,13 +77,15 @@ class CustomMaskRCNN(nn.Module):
                       ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         feats = self.extract_features(images, train=True)
-        cls_scores, _ = self.rpn(feats)
+        cls_scores, bbox_deltas = self.rpn(feats)
         anchors = self._anchors()
         img_size = (c.image_height, c.image_width)
 
         rng = self.make_rng("sampling")
         k_rpn, k_prop = jax.random.split(rng)
         b = images.shape[0]
+        # [B, N, 4] RPN deltas in anchor order (NHWC [H,W,4A] -> [HWA,4]).
+        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
 
         if not c.heads_all_images:
             # Reference semantics: RPN loss on image-0 scores vs
@@ -93,8 +96,10 @@ class CustomMaskRCNN(nn.Module):
                 targets["boxes"], targets["valid"], k_rpn, c)
 
             obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
+            src_boxes = decode_boxes(rpn_dlt[0], anchors) \
+                if c.decode_proposals else anchors
             props = training_proposals(
-                obj0, anchors, img_size, k_prop, c.train_pre_topk,
+                obj0, src_boxes, img_size, k_prop, c.train_pre_topk,
                 c.train_score_thresh, c.train_min_box_size,
                 c.train_num_samples)
 
@@ -112,6 +117,10 @@ class CustomMaskRCNN(nn.Module):
                                          c.num_classes)
             losses["loss_mask"] = detector.mask_loss(mask_logits, t)
             losses["loss_rpn_cls"] = loss_rpn
+            if c.decode_proposals:
+                losses["loss_rpn_reg"] = detector.rpn_reg_loss(
+                    rpn_dlt[0], anchors, targets["boxes"][0],
+                    targets["valid"][0], c)
             return losses
 
         # Fixed mode: every image supervises the RPN (per-image matching)
@@ -121,11 +130,19 @@ class CustomMaskRCNN(nn.Module):
         keys = jax.random.split(k_prop, b)
         rpn_keys = jax.random.split(k_rpn, b)
 
-        def per_image(obj_i, feat_i, boxes_i, valid_i, mask28_i, kp, kr):
+        def per_image(obj_i, dlt_i, feat_i, boxes_i, valid_i, mask28_i,
+                      kp, kr):
             loss_rpn = detector.rpn_loss_single(
                 obj_i, anchors, boxes_i, valid_i, kr, c)
+            if c.decode_proposals:
+                src_boxes = decode_boxes(dlt_i, anchors)
+                loss_rpn_reg = detector.rpn_reg_loss(
+                    dlt_i, anchors, boxes_i, valid_i, c)
+            else:
+                src_boxes = anchors
+                loss_rpn_reg = jnp.zeros(())
             props = training_proposals(
-                obj_i, anchors, img_size, kp, c.train_pre_topk,
+                obj_i, src_boxes, img_size, kp, c.train_pre_topk,
                 c.train_score_thresh, c.train_min_box_size,
                 c.train_num_samples)
             rois = roi_align(feat_i, props.boxes, c.roi_output_size,
@@ -133,10 +150,10 @@ class CustomMaskRCNN(nn.Module):
                              precision=c.roi_precision)
             t = detector.match_head_targets(
                 props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
-            return rois, t, loss_rpn
+            return rois, t, loss_rpn, loss_rpn_reg
 
-        rois, t, loss_rpn = jax.vmap(per_image)(
-            obj, feat0, targets["boxes"], targets["valid"],
+        rois, t, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
+            obj, rpn_dlt, feat0, targets["boxes"], targets["valid"],
             targets["mask28"], keys, rpn_keys)
 
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
@@ -148,6 +165,8 @@ class CustomMaskRCNN(nn.Module):
                                      c.num_classes)
         losses["loss_mask"] = detector.mask_loss(mask_logits, flat_t)
         losses["loss_rpn_cls"] = loss_rpn.mean()
+        if c.decode_proposals:
+            losses["loss_rpn_reg"] = loss_rpn_reg.mean()
         return losses
 
     # ------------------------------------------------------------------
@@ -157,7 +176,7 @@ class CustomMaskRCNN(nn.Module):
     def inference_forward(self, images: jnp.ndarray) -> detector.Detections:
         c = self.cfg
         feats = self.extract_features(images, train=False)
-        cls_scores, _ = self.rpn(feats)
+        cls_scores, bbox_deltas = self.rpn(feats)
         anchors = self._anchors()
         img_size = (c.image_height, c.image_width)
         feat0 = feats[0].astype(jnp.float32)
@@ -169,10 +188,13 @@ class CustomMaskRCNN(nn.Module):
             nms_fn = nms_fixed
 
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
+        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
 
-        def per_image(obj_i, feat_i):
+        def per_image(obj_i, dlt_i, feat_i):
+            src_boxes = decode_boxes(dlt_i, anchors) \
+                if c.decode_proposals else anchors
             props = inference_proposals(
-                obj_i, anchors, img_size, c.infer_pre_topk,
+                obj_i, src_boxes, img_size, c.infer_pre_topk,
                 c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
                 c.infer_min_box_size, nms_fn=nms_fn)
             rois = roi_align(feat_i, props.boxes, c.roi_output_size,
@@ -180,19 +202,26 @@ class CustomMaskRCNN(nn.Module):
                              precision=c.roi_precision)
             return props, rois
 
-        props, rois = jax.vmap(per_image)(obj, feat0)
+        props, rois = jax.vmap(per_image)(obj, rpn_dlt, feat0)
 
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
-        cls_logits, _ = self.box_head(flat_rois)
+        cls_logits, head_deltas = self.box_head(flat_rois)
         mask_logits = self.mask_head(flat_rois)
         d = c.infer_post_nms
         cls_logits = cls_logits.reshape(b, d, -1)
+        head_deltas = head_deltas.reshape(b, d, -1)
         mask_probs = jax.nn.sigmoid(
             mask_logits[..., 1].reshape(b, d, c.mask_size, c.mask_size))
 
         box_scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1]
 
-        def postprocess(boxes, scores, pvalid, probs):
+        def postprocess(boxes, scores, pvalid, probs, deltas):
+            if c.decode_proposals:
+                # Refine with the box head's class-1 deltas (the slice the
+                # reference trains but never applies,
+                # custom_maskrcnn.py:234).
+                boxes = clip_boxes(decode_boxes(deltas[:, 4:8], boxes),
+                                   img_size)
             keep = (scores > c.det_score_thresh) & pvalid
             idx, kvalid = nms_fn(boxes, scores, c.det_nms_thresh,
                                  c.max_detections, valid=keep)
@@ -202,7 +231,7 @@ class CustomMaskRCNN(nn.Module):
                 valid=kvalid, mask_probs=probs[idx])
 
         return jax.vmap(postprocess)(props.boxes, box_scores, props.valid,
-                                     mask_probs)
+                                     mask_probs, head_deltas)
 
     def init_forward(self, images: jnp.ndarray, rois: jnp.ndarray):
         """Cheap path touching every submodule once, used only to create

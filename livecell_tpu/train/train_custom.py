@@ -103,6 +103,10 @@ def main(argv=None, config=None):
                              "in the batch instead of the reference's "
                              "image-0-only quirk (ModelConfig."
                              "heads_all_images)")
+    parser.add_argument("--decode_proposals", action="store_true",
+                        help="decode RPN/box-head deltas into real boxes "
+                             "(the reference trains but never applies "
+                             "them; ModelConfig.decode_proposals)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
@@ -125,10 +129,12 @@ def main(argv=None, config=None):
     enable_compilation_cache()
     cfg = config or Config()
     mcfg = cfg.model
-    if args.fixed_heads:
+    if args.fixed_heads or args.decode_proposals:
         import dataclasses
 
-        mcfg = dataclasses.replace(mcfg, heads_all_images=True)
+        mcfg = dataclasses.replace(
+            mcfg, heads_all_images=args.fixed_heads or mcfg.heads_all_images,
+            decode_proposals=args.decode_proposals or mcfg.decode_proposals)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")

@@ -155,3 +155,25 @@ def test_train_forward_heads_all_images():
     grads = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_train_and_infer_decode_proposals():
+    """Fixed mode with decoded RPN/box deltas (quirk-fix flag pair)."""
+    cfg = dataclasses.replace(TINY, heads_all_images=True,
+                              decode_proposals=True)
+    model, variables = create_model(cfg, jax.random.key(0))
+    images, targets = synthetic_batch(cfg)
+    losses, _ = model.apply(
+        variables, images, targets, train=True,
+        rngs={"sampling": jax.random.key(1)}, mutable=["batch_stats"])
+    assert "loss_rpn_reg" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    det = model.apply(variables, images, train=False)
+    assert det.boxes.shape == (2, cfg.max_detections, 4)
+    b = np.asarray(det.boxes)
+    assert np.isfinite(b).all()
+    # Refined boxes stay clipped to the image.
+    assert (b[..., 0::2] >= 0).all() and \
+        (b[..., 0::2] <= cfg.image_width).all()
