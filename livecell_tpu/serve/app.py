@@ -42,11 +42,11 @@ class InferenceEngine:
         self.cfg = Config()
         self.model, self.variables = load_model(model_path, model_type)
         self.model_path = model_path
+        # score_threshold 0 here: the per-request slider filters later.
         self._frame_predict = make_frame_predictor(
             self.model, self.variables, self.cfg.tile,
-            score_threshold=0.0, mask_threshold=self.cfg.tile and 0.4)
+            score_threshold=0.0, mask_threshold=0.4)
 
-        mcfg = self.cfg.model
         import jax.numpy as jnp
 
         @jax.jit
