@@ -107,6 +107,10 @@ def main(argv=None, config=None):
                         help="decode RPN/box-head deltas into real boxes "
                              "(the reference trains but never applies "
                              "them; ModelConfig.decode_proposals)")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast at the op "
+                             "producing a NaN; the sanitizer hook, "
+                             "SURVEY.md §5)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
@@ -127,6 +131,10 @@ def main(argv=None, config=None):
     from livecell_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.debug_nans:
+        from livecell_tpu.utils.profiling import enable_nan_debug
+
+        enable_nan_debug(True)
     cfg = config or Config()
     mcfg = cfg.model
     if args.fixed_heads or args.decode_proposals:
