@@ -57,10 +57,12 @@ class CustomMaskRCNN(nn.Module):
     # Shared trunk (reference extract_features, custom_maskrcnn.py:67-83).
     # ------------------------------------------------------------------
     def extract_features(self, images: jnp.ndarray, train: bool):
+        # CBAM is chained serially — each stage consumes the previous
+        # stage's *attended* output (custom_maskrcnn.py:77-80:
+        # c2 = cbam2(layer2(c1)) where c1 = cbam1(layer1(x))).
         x = images.astype(jnp.dtype(self.cfg.compute_dtype))
-        stages = self.backbone(x, train)
-        attended = [cb(s) for cb, s in zip(self.cbam, stages)]
-        feats = self.fpn(attended)
+        stages = self.backbone(x, train, post_stage=tuple(self.cbam))
+        feats = self.fpn(stages)
         return feats
 
     def _anchors(self) -> jnp.ndarray:

@@ -91,7 +91,12 @@ class ResNetBackbone(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x, train: bool,
+                 post_stage: Sequence = ()) -> Tuple[jnp.ndarray, ...]:
+        """post_stage: optional per-stage callables (e.g. bound CBAM
+        modules) applied after each stage and *fed to the next stage*, the
+        reference's serial chaining c2 = cbam2(layer2(cbam1(...)))
+        (custom_maskrcnn.py:77-80)."""
         # Stem: 7x7/2 conv, BN, relu, 3x3/2 maxpool (floor mode like torch).
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=kaiming_normal_fan_out,
@@ -108,5 +113,7 @@ class ResNetBackbone(nn.Module):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = block(width, stride, self.dtype,
                           name=f"layer{i + 1}_{j}")(x, train)
+            if i < len(post_stage) and post_stage[i] is not None:
+                x = post_stage[i](x)
             feats.append(x)
         return tuple(feats)

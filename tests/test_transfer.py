@@ -128,3 +128,73 @@ def test_torch_import_roundtrip(tmp_path, tmodel):
     # Untouched keys stay intact.
     np.testing.assert_allclose(new_flat["box_predictor/cls_score/kernel"],
                                flat["box_predictor/cls_score/kernel"])
+
+
+def test_deconv_import_matches_torch():
+    """Golden: a torch ConvTranspose2d weight imported through _deconv
+    must reproduce torch's deconv output in flax (requires the spatial
+    flip — transpose alone is numerically wrong)."""
+    torch = pytest.importorskip("torch")
+    from flax import linen as nn
+
+    from livecell_tpu.models.torch_import import _deconv
+
+    g = torch.Generator().manual_seed(0)
+    tdeconv = torch.nn.ConvTranspose2d(3, 5, kernel_size=2, stride=2)
+    with torch.no_grad():
+        tdeconv.weight.copy_(torch.randn(3, 5, 2, 2, generator=g))
+        tdeconv.bias.copy_(torch.randn(5, generator=g))
+    x = torch.randn(2, 3, 7, 7, generator=g)
+    with torch.no_grad():
+        ref = tdeconv(x).numpy()  # [2, 5, 14, 14]
+
+    fdeconv = nn.ConvTranspose(5, (2, 2), strides=(2, 2),
+                               dtype=jnp.float32)
+    variables = {"params": {
+        "kernel": jnp.asarray(_deconv(tdeconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tdeconv.bias.detach().numpy())}}
+    out = fdeconv.apply(variables, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1)))  # NCHW -> NHWC
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref, rtol=1e-4, atol=1e-5)
+
+
+def test_torchvision_import_full_state_dict(tmp_path, tmodel):
+    """A shape-complete fake torchvision maskrcnn_resnet50_fpn checkpoint
+    (91 classes like the real pretrained one) must import with ZERO
+    unconsumed tensors (strict), and the model must run inference on the
+    imported weights."""
+    torch = pytest.importorskip("torch")
+
+    from livecell_tpu.models.torch_import import (
+        jax_tree_to_dict, load_torchvision_weights)
+    from tests.util_torchvision_fake import (
+        fake_torchvision_maskrcnn_state_dict)
+
+    model, variables = tmodel
+    sd = fake_torchvision_maskrcnn_state_dict(num_classes=91)
+    path = tmp_path / "full_fake.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+
+    out = load_torchvision_weights(variables, str(path), strict=True)
+
+    # Every mappable param actually changed (91-class predictors excluded
+    # by design: the reference swaps them, train_transfer.py:22-35).
+    old = jax_tree_to_dict(variables["params"])
+    new = jax_tree_to_dict(out["params"])
+    unchanged = [k for k in old
+                 if not k.startswith(("box_predictor/",
+                                      "mask_head/mask_fcn_logits/"))
+                 and np.allclose(old[k], new[k])]
+    assert not unchanged, f"params not imported: {unchanged[:10]}"
+    old_stats = jax_tree_to_dict(variables.get("batch_stats", {}))
+    new_stats = jax_tree_to_dict(out.get("batch_stats", {}))
+    stat_unchanged = [k for k in old_stats
+                      if np.allclose(old_stats[k], new_stats[k])]
+    assert not stat_unchanged, f"stats not imported: {stat_unchanged[:10]}"
+
+    images, _ = synthetic()
+    out = jax.tree.map(jnp.asarray, out)
+    det = model.apply(out, images, train=False)
+    assert np.isfinite(np.asarray(det.scores)).all()
