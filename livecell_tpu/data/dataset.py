@@ -51,6 +51,7 @@ class PackedDataset:
         self.root_dir = Path(root_dir)
         self.split = split
         self.cfg = model_cfg or ModelConfig()
+        self._truncation_warned = False
 
         self.img_dir = self.root_dir / split / "images"
         self.ann_file = self.root_dir / "annotations" / \
@@ -196,6 +197,16 @@ class PackedDataset:
         for bi, idx in enumerate(indices):
             lo, hi = self.offsets[idx], self.offsets[idx + 1]
             n = min(hi - lo, i_max)
+            if hi - lo > i_max and not self._truncation_warned:
+                self._truncation_warned = True
+                import warnings
+
+                warnings.warn(
+                    f"tile has {hi - lo} instances but max_instances="
+                    f"{i_max}; ground truth beyond the cap is dropped "
+                    f"(split max is {int(self.instance_counts().max())} — "
+                    f"raise DataConfig.max_instances to cover it)",
+                    stacklevel=2)
             boxes[bi, :n] = self.boxes[lo:lo + n]
             labels[bi, :n] = self.labels[lo:lo + n]
             mask28[bi, :n] = self.mask28[lo:lo + n]

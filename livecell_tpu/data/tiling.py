@@ -84,6 +84,18 @@ def remap_annotation(ann: Dict, tile: Tuple[int, int, int, int],
         if not new_seg:
             return None
         new_ann["segmentation"] = new_seg
+    elif isinstance(ann.get("segmentation"), dict):
+        # Dict-RLE segmentation: decode, crop to the tile, re-encode.
+        # (The reference would crash on these, preprocess_dataset.py:
+        # 159-178 assumes polygon lists; passing the RLE through with
+        # untranslated coordinates would silently corrupt the tile JSON.)
+        from livecell_tpu.data.coco import rle_decode, rle_encode
+
+        dense = rle_decode(ann["segmentation"])
+        crop = dense[int(y_min):int(y_max), int(x_min):int(x_max)]
+        if not crop.any():
+            return None
+        new_ann["segmentation"] = rle_encode(np.ascontiguousarray(crop))
 
     new_ann["area"] = new_ann["bbox"][2] * new_ann["bbox"][3]
     return new_ann

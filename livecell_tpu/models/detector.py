@@ -154,20 +154,43 @@ def match_head_targets(
     gt_valid: jnp.ndarray,     # [I]
     gt_mask28: jnp.ndarray,    # [I, 28, 28]
     cfg: ModelConfig,
+    mask_gt: tuple | None = None,
 ) -> HeadTargets:
     """IoU-match proposals to GT (single image — reference trains heads on
-    batch element 0, custom_maskrcnn.py:213,244)."""
+    batch element 0, custom_maskrcnn.py:213,244).
+
+    mask_gt: optional (boxes [J,4], valid [J], mask28 [J,28,28]) used for
+    *mask* matching only. The reference's quirk path selects mask
+    foreground at IoU >= 0.4 vs image-0 GT (custom_maskrcnn.py:251) but
+    then re-matches those proposals against GT concatenated across the
+    WHOLE batch inside compute_mask_loss_from_gt (mask_utils.py:88-108),
+    so the mask target can come from another image's instance. Pass the
+    flattened batch GT here to reproduce that.
+    """
     ious = box_iou(proposals, gt_boxes)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
     max_iou = ious.max(axis=1)
     matched = ious.argmax(axis=1)
 
     fg_box = (max_iou >= cfg.box_fg_iou) & prop_valid
-    fg_mask = (max_iou > cfg.mask_fg_iou) & prop_valid
 
     matched_boxes = gt_boxes[matched]
     reg_targets = encode_boxes(matched_boxes, proposals)
-    mask_targets = gt_mask28[matched]
+
+    # Mask matching: vs concatenated-batch GT when provided, with the
+    # reference's inner > 0.3 check (mask_utils.py:97); the pre-filter at
+    # IoU >= 0.4 vs image-0 GT makes the 0.3 check implied when both
+    # matchings use the same GT set.
+    if mask_gt is not None:
+        mgtb, mgtv, mgtm = mask_gt
+        mious = box_iou(proposals, mgtb)
+        mious = jnp.where(mgtv[None, :], mious, -1.0)
+        m_max = mious.max(axis=1)
+        m_arg = mious.argmax(axis=1)
+    else:
+        m_max, m_arg, mgtm = max_iou, matched, gt_mask28
+    fg_mask = fg_box & (m_max > cfg.mask_fg_iou)
+    mask_targets = mgtm[m_arg]
 
     has_gt = gt_valid.any()
     return HeadTargets(

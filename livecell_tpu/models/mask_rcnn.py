@@ -112,9 +112,20 @@ class CustomMaskRCNN(nn.Module):
             cls_logits, box_deltas = self.box_head(rois)
             mask_logits = self.mask_head(rois)
 
+            mask_gt = None
+            if b > 1:
+                # Reference quirk: mask targets are re-matched against GT
+                # concatenated across the whole batch (mask_utils.py:88-108)
+                # even though box targets use image 0 only.
+                mask_gt = (
+                    targets["boxes"].reshape(-1, 4),
+                    targets["valid"].reshape(-1),
+                    targets["mask28"].reshape(
+                        (-1,) + targets["mask28"].shape[2:]))
             t = detector.match_head_targets(
                 props.boxes, props.valid, targets["boxes"][0],
-                targets["valid"][0], targets["mask28"][0], c)
+                targets["valid"][0], targets["mask28"][0], c,
+                mask_gt=mask_gt)
             losses = detector.box_losses(cls_logits, box_deltas, t,
                                          c.num_classes)
             losses["loss_mask"] = detector.mask_loss(mask_logits, t)

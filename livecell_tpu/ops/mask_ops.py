@@ -42,6 +42,47 @@ def extract_mask_targets(masks: jnp.ndarray, boxes: jnp.ndarray,
                       preferred_element_type=jnp.float32, precision="highest")
 
 
+def _reproject_axis(plo, phi, glo, ghi, m):
+    """[K, m, m] weights resampling a GT-box-grid axis at proposal-box
+    bin centers; samples outside the GT box get zero weight (no clamp)."""
+    gspan = jnp.maximum(ghi - glo, 1e-6)
+    j = jnp.arange(m, dtype=jnp.float32)
+    y = plo[:, None] + (j[None, :] + 0.5) * \
+        ((phi - plo)[:, None] / m) - 0.5                  # global coords
+    u = (y - glo[:, None] + 0.5) * (m / gspan[:, None]) - 0.5
+    idx = jnp.arange(m, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - idx))
+
+
+def reproject_mask28(mask28: jnp.ndarray, gt_boxes: jnp.ndarray,
+                     prop_boxes: jnp.ndarray) -> jnp.ndarray:
+    """Resample GT-box-cropped mask targets onto proposal-box grids.
+
+    torchvision's maskrcnn_loss projects the dense GT mask onto each
+    sampled *proposal* box (project_masks_on_boxes); this reproduces that
+    from the precomputed GT-box-grid mask28 (the dense mask sampled on the
+    GT box) without materializing full-resolution masks: proposal-box bin
+    centers are mapped into the GT box's 28-grid index space and read
+    bilinearly, zero outside the GT box.
+
+    Args:
+      mask28: [K, m, m] targets on the matched GT boxes' grids.
+      gt_boxes: [K, 4] the matched GT boxes (same frame as prop_boxes).
+      prop_boxes: [K, 4] sampled proposal boxes.
+
+    Returns: [K, m, m] float32 targets aligned with the proposal grids.
+    """
+    m = mask28.shape[-1]
+    wy = _reproject_axis(prop_boxes[:, 1], prop_boxes[:, 3],
+                         gt_boxes[:, 1], gt_boxes[:, 3], m)
+    wx = _reproject_axis(prop_boxes[:, 0], prop_boxes[:, 2],
+                         gt_boxes[:, 0], gt_boxes[:, 2], m)
+    t = jnp.einsum("kyu,kuv->kyv", wy, mask28.astype(jnp.float32),
+                   preferred_element_type=jnp.float32, precision="highest")
+    return jnp.einsum("kxv,kyv->kyx", wx, t,
+                      preferred_element_type=jnp.float32, precision="highest")
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """F.interpolate(mode='bilinear', align_corners=False) for NHWC tensors
     with static sizes, via constant weight matrices."""

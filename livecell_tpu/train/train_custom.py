@@ -226,20 +226,23 @@ def main(argv=None, config=None):
             opt_state=opt_state)
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
     train_step = make_train_step(model, tx, mesh=mesh)
-    eval_step = make_eval_step(model, mesh=None)
+    eval_step = make_eval_step(model, mesh=mesh)
 
     device_train = None
-    use_device_data = args.device_data == "on" or (
-        args.device_data == "auto" and mesh is None)
+    use_device_data = args.device_data in ("on", "auto")
     if use_device_data:
         from livecell_tpu.data.device_data import (
             DeviceDataset, make_indexed_train_step)
 
-        device_train = DeviceDataset(train_ds)
+        # With a mesh the split replicates across devices and only the
+        # [B] index vector is data-sharded (see device_data.py).
+        device_train = DeviceDataset(train_ds, mesh=mesh)
         print(f"  HBM-resident training data: "
               f"{device_train.nbytes / 2**20:.0f} MB for "
-              f"{len(device_train)} tiles")
-        indexed_step = make_indexed_train_step(model, tx, device_train)
+              f"{len(device_train)} tiles"
+              + (" (replicated across mesh)" if mesh is not None else ""))
+        indexed_step = make_indexed_train_step(model, tx, device_train,
+                                               mesh=mesh)
 
     bsh = batch_sharding(mesh) if mesh is not None else None
 

@@ -177,3 +177,28 @@ def test_coco_index(tiled_tree):
     anns = idx.get_anns(ids[0])
     for a in anns:
         assert a["image_id"] == ids[0]
+
+
+def test_remap_annotation_rle_segmentation():
+    """Dict-RLE segmentations are decoded, cropped to the tile, and
+    re-encoded — never passed through with untranslated coordinates."""
+    from livecell_tpu.data.coco import rle_decode, rle_encode
+
+    dense = np.zeros((100, 200), np.uint8)
+    dense[40:60, 120:160] = 1  # blob inside the tile below
+    ann = {"bbox": [120, 40, 40, 20], "segmentation": rle_encode(dense),
+           "category_id": 1, "id": 7}
+    tile = (100, 20, 200, 100)  # x_min, y_min, x_max, y_max
+    out = remap_annotation(ann, tile)
+    assert out is not None
+    seg = out["segmentation"]
+    assert isinstance(seg, dict) and seg["size"] == [80, 100]
+    got = rle_decode(seg)
+    want = dense[20:100, 100:200]
+    np.testing.assert_array_equal(got, want)
+    # Fully-outside blob drops the annotation.
+    ann2 = {"bbox": [0, 0, 40, 20], "segmentation": rle_encode(
+        (np.arange(200)[None, :] < 40).astype(np.uint8) *
+        (np.arange(100)[:, None] < 20).astype(np.uint8)),
+        "category_id": 1, "id": 8}
+    assert remap_annotation(ann2, tile) is None

@@ -116,3 +116,62 @@ def test_paste_masks_respects_validity(rng):
         valid=jnp.asarray([True, False])))
     assert got[0].max() == 255
     assert got[1].max() == 0
+
+
+def test_reproject_mask28_identity():
+    """Projecting onto the GT box itself is exactly the identity."""
+    from livecell_tpu.ops.mask_ops import reproject_mask28
+
+    rng = np.random.default_rng(3)
+    m = rng.uniform(size=(4, 28, 28)).astype(np.float32)
+    boxes = np.array([[10, 20, 50, 60]] * 4, np.float32)
+    out = reproject_mask28(jnp.asarray(m), jnp.asarray(boxes),
+                           jnp.asarray(boxes))
+    np.testing.assert_allclose(np.asarray(out), m, atol=1e-5)
+
+
+def test_reproject_mask28_matches_dense_projection():
+    """Reprojection from the GT-box-grid mask28 agrees with projecting the
+    dense GT mask directly onto the proposal box (a larger-grid resample),
+    and reads zero outside the GT box."""
+    from livecell_tpu.ops.mask_ops import reproject_mask28
+
+    h = w = 112
+    yy, xx = np.mgrid[0:h, 0:w]
+    # Smooth blob centered in the GT box.
+    dense = np.exp(-(((yy - 48) / 14.0) ** 2 + ((xx - 56) / 18.0) ** 2))
+    dense = (dense > 0.4).astype(np.float32)
+    gt_box = np.array([[32.0, 24.0, 80.0, 72.0]], np.float32)
+    prop = np.array([[40.0, 30.0, 92.0, 80.0]], np.float32)
+
+    def sample_grid(box, n=28):
+        x1, y1, x2, y2 = box
+        j = np.arange(n)
+        ys = y1 + (j + 0.5) * (y2 - y1) / n - 0.5
+        xs = x1 + (j + 0.5) * (x2 - x1) / n - 0.5
+        out = np.zeros((n, n), np.float32)
+        for a, y in enumerate(ys):
+            for b, x in enumerate(xs):
+                y0, x0 = int(np.floor(y)), int(np.floor(x))
+                fy, fx = y - y0, x - x0
+                acc = 0.0
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        yy_, xx_ = y0 + dy, x0 + dx
+                        if 0 <= yy_ < h and 0 <= xx_ < w:
+                            wgt = (fy if dy else 1 - fy) * \
+                                  (fx if dx else 1 - fx)
+                            acc += wgt * dense[yy_, xx_]
+                out[a, b] = acc
+        return out
+
+    mask28 = sample_grid(gt_box[0])              # GT-box grid of the dense
+    want = sample_grid(prop[0])                  # proposal-box grid, dense
+    got = np.asarray(reproject_mask28(
+        jnp.asarray(mask28[None]), jnp.asarray(gt_box), jnp.asarray(prop)))[0]
+    # Reprojection resamples a 28-grid, not the dense mask: agreement is
+    # approximate at mask edges but must be tight in aggregate.
+    assert np.abs(got - want).mean() < 0.02
+    assert np.abs(got - want).max() < 0.5
+    # Region of the proposal box right of the GT box reads ~0.
+    assert got[:, -3:].max() < 0.05
