@@ -22,13 +22,21 @@ from typing import Dict
 import numpy as np
 
 
+# All 12 reference hook points (explain_predictions.py:27-51): layer1-4,
+# cbam1-4, fpn, rpn, box_head, mask_head.
 STAGE_KEYS = [
-    ("backbone layer1", ("backbone", "layer1_1", "__call__")),
-    ("backbone layer4", ("backbone", "layer4_1", "__call__")),
+    ("layer1", ("backbone", "layer1_1", "__call__")),
+    ("layer2", ("backbone", "layer2_1", "__call__")),
+    ("layer3", ("backbone", "layer3_1", "__call__")),
+    ("layer4", ("backbone", "layer4_1", "__call__")),
     ("cbam1", ("cbam1", "__call__")),
+    ("cbam2", ("cbam2", "__call__")),
+    ("cbam3", ("cbam3", "__call__")),
     ("cbam4", ("cbam4", "__call__")),
-    ("fpn P2", ("fpn", "__call__")),
-    ("rpn objectness", ("rpn", "__call__")),
+    ("fpn", ("fpn", "__call__")),
+    ("rpn", ("rpn", "__call__")),
+    ("box_head", ("box_head", "__call__")),
+    ("mask_head", ("mask_head", "__call__")),
 ]
 
 
@@ -147,8 +155,7 @@ def explain_image(model, variables, image_u8: np.ndarray,
     axes[0].set_title("Input")
 
     panel = 1
-    for name in ("backbone layer1", "backbone layer4", "cbam1", "cbam4",
-                 "fpn P2"):
+    for name in ("layer1", "layer2", "layer4", "cbam1", "cbam4", "fpn"):
         if acts.get(name) is not None:
             axes[panel].imshow(feature_map_image(acts[name]), cmap="jet")
         axes[panel].set_title(name)

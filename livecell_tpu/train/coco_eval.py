@@ -39,17 +39,35 @@ def greedy_match(scores: np.ndarray, iou: np.ndarray, n_gt: int,
                  thresh: float) -> np.ndarray:
     """COCO per-image matching: detections in descending score order
     claim the highest-IoU unmatched GT above thresh. Returns tp flags."""
+    return greedy_match_all(scores, iou, n_gt,
+                            np.asarray([thresh]))[0]
+
+
+def greedy_match_all(scores: np.ndarray, iou: np.ndarray, n_gt: int,
+                     threshs: np.ndarray) -> np.ndarray:
+    """Vectorized greedy matching for ALL thresholds in one detection
+    sweep: per detection, a [T, G] candidate matrix picks each
+    threshold's best unmatched GT (ties resolved to the last GT index,
+    matching the original scalar loop's `>=` update rule).
+
+    Returns tp flags [T, D].
+    """
     order = np.argsort(-scores, kind="stable")
-    taken = np.zeros(n_gt, bool)
-    tp = np.zeros(len(scores), bool)
+    t = len(threshs)
+    d_n = len(scores)
+    tp = np.zeros((t, d_n), bool)
+    if n_gt == 0 or d_n == 0:
+        return tp
+    taken = np.zeros((t, n_gt), bool)
+    iou_m = np.asarray(iou)[:, :n_gt]
+    tcol = np.asarray(threshs)
+    rows = np.arange(t)
     for d in order:
-        best, best_iou = -1, thresh
-        for g in range(n_gt):
-            if not taken[g] and iou[d, g] >= best_iou:
-                best, best_iou = g, iou[d, g]
-        if best >= 0:
-            taken[best] = True
-            tp[d] = True
+        cand = np.where(taken, -1.0, iou_m[d][None, :])   # [T, G]
+        gi = n_gt - 1 - np.argmax(cand[:, ::-1], axis=1)  # last max
+        ok = cand[rows, gi] >= tcol
+        taken[ok, gi[ok]] = True
+        tp[ok, d] = True
     return tp
 
 
@@ -80,19 +98,17 @@ def compute_ap(per_image: List[Tuple[np.ndarray, np.ndarray, int]]
 
     Returns AP (mean over thresholds), AP50, AP75.
     """
+    total_gt = sum(n_gt for _, _, n_gt in per_image)
+    scores_all = [s for s, _, _ in per_image if len(s)]
+    tp_rows = [greedy_match_all(scores, iou, n_gt, IOU_THRESHOLDS)
+               for scores, iou, n_gt in per_image if len(scores)]
+
     aps = {}
-    for t in IOU_THRESHOLDS:
-        scores_all, tp_all, total_gt = [], [], 0
-        for scores, iou, n_gt in per_image:
-            total_gt += n_gt
-            if len(scores) == 0:
-                continue
-            tp = greedy_match(scores, iou, n_gt, t)
-            scores_all.append(scores)
-            tp_all.append(tp)
+    for ti, t in enumerate(IOU_THRESHOLDS):
         if scores_all:
-            ap = average_precision(np.concatenate(scores_all),
-                                   np.concatenate(tp_all), total_gt)
+            ap = average_precision(
+                np.concatenate(scores_all),
+                np.concatenate([tp[ti] for tp in tp_rows]), total_gt)
         else:
             ap = 0.0
         aps[round(float(t), 2)] = ap
@@ -156,11 +172,24 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
                 iou = np.asarray(box_iou(jnp.asarray(boxes),
                                          jnp.asarray(dataset.boxes[lo:hi])))
             else:
-                img_id = int(dataset.image_ids[tile_idx])
-                gmasks = np.stack([
-                    ann_to_mask(a, th, tw)
-                    for a in coco.get_anns(img_id)
-                    if not a.get("iscrowd", 0)])
+                # GT rasterization cached on the dataset (bit-packed;
+                # a split is re-evaluated every epoch).
+                gcache = getattr(dataset, "_gt_mask_cache", None)
+                if gcache is None:
+                    gcache = {}
+                    dataset._gt_mask_cache = gcache
+                if tile_idx in gcache:
+                    gmasks = np.unpackbits(
+                        gcache[tile_idx], axis=-1,
+                        count=tw).astype(bool)
+                else:
+                    img_id = int(dataset.image_ids[tile_idx])
+                    gmasks = np.stack([
+                        ann_to_mask(a, th, tw)
+                        for a in coco.get_anns(img_id)
+                        if not a.get("iscrowd", 0)])
+                    gcache[tile_idx] = np.packbits(
+                        gmasks.astype(np.uint8), axis=-1)
                 dmasks = det_masks_fn(
                     jnp.asarray(det.mask_probs[bi]),
                     jnp.asarray(det.boxes[bi]), jnp.asarray(det.valid[bi]))

@@ -175,3 +175,81 @@ def test_reproject_mask28_matches_dense_projection():
     assert np.abs(got - want).max() < 0.5
     # Region of the proposal box right of the GT box reads ~0.
     assert got[:, -3:].max() < 0.05
+
+
+def _centroid(m):
+    ys, xs = np.nonzero(m)
+    return np.array([ys.mean(), xs.mean()])
+
+
+def test_mask_roundtrip_alignment():
+    """Full-chain geometry: dense GT mask -> extract mask28 at box ->
+    paste back at the same box. Off-by-half errors would shift the
+    centroid or depress the IoU systematically."""
+    from livecell_tpu.ops.mask_ops import extract_mask_targets, paste_masks
+
+    rng = np.random.default_rng(7)
+    h, w = 96, 128
+    ious, offsets = [], []
+    for trial in range(20):
+        # Elliptical blob with random center/size; box = tight bbox.
+        cy = rng.uniform(25, h - 25)
+        cx = rng.uniform(25, w - 25)
+        ry = rng.uniform(8, 20)
+        rx = rng.uniform(8, 20)
+        yy, xx = np.mgrid[0:h, 0:w]
+        mask = ((((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
+                ).astype(np.float32)
+        ys, xs = np.nonzero(mask)
+        box = np.array([[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]],
+                       np.float32)
+
+        m28 = extract_mask_targets(jnp.asarray(mask[None]),
+                                   jnp.asarray(box))
+        pasted = np.asarray(paste_masks(m28, jnp.asarray(box),
+                                        (h, w)))[0] > 0
+
+        inter = np.logical_and(pasted, mask > 0.5).sum()
+        union = np.logical_or(pasted, mask > 0.5).sum()
+        ious.append(inter / union)
+        offsets.append(np.abs(_centroid(pasted) - _centroid(mask > 0.5)))
+    ious = np.asarray(ious)
+    offsets = np.asarray(offsets)
+    # 28x28 resampling of a ~30px blob keeps IoU high; misalignment bugs
+    # (half-pixel shifts compound across extract+paste) would sink these.
+    assert ious.min() > 0.88, ious.min()
+    assert ious.mean() > 0.93, ious.mean()
+    assert offsets.max() < 0.75, offsets.max()
+    assert np.linalg.norm(offsets.mean(axis=0)) < 0.25, offsets.mean(axis=0)
+
+
+def test_mask_roundtrip_at_shifted_detection_box():
+    """Detection boxes rarely equal the GT box. Pasting the GT-box
+    mask28 at a slightly shifted box (as inference does with predicted
+    masks) degrades IoU smoothly — quantifies how much of AP75 loss is
+    box error, not mask-geometry error."""
+    from livecell_tpu.ops.mask_ops import extract_mask_targets, paste_masks
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((((yy - 48) / 16.0) ** 2 + ((xx - 64) / 18.0) ** 2) <= 1.0
+            ).astype(np.float32)
+    ys, xs = np.nonzero(mask)
+    box = np.array([[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]],
+                   np.float32)
+    m28 = extract_mask_targets(jnp.asarray(mask[None]), jnp.asarray(box))
+
+    def iou_at(dx):
+        shifted = box + np.array([dx, 0, dx, 0], np.float32)
+        pasted = np.asarray(paste_masks(m28, jnp.asarray(shifted),
+                                        (h, w)))[0] > 0
+        inter = np.logical_and(pasted, mask > 0.5).sum()
+        return inter / np.logical_or(pasted, mask > 0.5).sum()
+
+    exact = iou_at(0.0)
+    assert exact > 0.9
+    # 2px box error ~ IoU .75-.9; 6px ~ IoU < .8 — AP75 requires boxes
+    # within ~2px on 30px cells, so box regression quality dominates.
+    assert iou_at(2.0) < exact
+    assert iou_at(6.0) < iou_at(2.0) < 0.95
+    assert iou_at(6.0) > 0.4
