@@ -219,16 +219,13 @@ class CustomMaskRCNN(nn.Module):
 
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
         cls_logits, head_deltas = self.box_head(flat_rois)
-        mask_logits = self.mask_head(flat_rois)
         d = c.infer_post_nms
         cls_logits = cls_logits.reshape(b, d, -1)
         head_deltas = head_deltas.reshape(b, d, -1)
-        mask_probs = jax.nn.sigmoid(
-            mask_logits[..., 1].reshape(b, d, c.mask_size, c.mask_size))
 
         box_scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1]
 
-        def postprocess(boxes, scores, pvalid, probs, deltas):
+        def postprocess(boxes, scores, pvalid, deltas):
             if c.decode_proposals:
                 # Refine with the box head's class-1 deltas (the slice the
                 # reference trains but never applies,
@@ -238,13 +235,43 @@ class CustomMaskRCNN(nn.Module):
             keep = (scores > c.det_score_thresh) & pvalid
             idx, kvalid = nms_fn(boxes, scores, c.det_nms_thresh,
                                  c.max_detections, valid=keep)
-            return detector.Detections(
-                boxes=boxes[idx], scores=scores[idx],
-                labels=jnp.ones((c.max_detections,), jnp.int32),
-                valid=kvalid, mask_probs=probs[idx])
+            return boxes[idx], scores[idx], kvalid, idx
 
-        return jax.vmap(postprocess)(props.boxes, box_scores, props.valid,
-                                     mask_probs, head_deltas)
+        det_boxes, det_scores, det_valid, det_idx = jax.vmap(postprocess)(
+            props.boxes, box_scores, props.valid, head_deltas)
+
+        if c.decode_proposals:
+            # With refined boxes the mask head runs on ROIs at the FINAL
+            # detection boxes (torchvision-style second mask pass): the
+            # mask targets are GT-box crops (mask_utils.py:107-112), so
+            # predicting from the refined box — which approximates the GT
+            # box — and pasting at that same box keeps the mask frame
+            # consistent. Extracting at the raw proposal but pasting at
+            # the refined box (the naive composition) misaligns masks by
+            # exactly the refinement shift and caps mask AP75.
+            def mask_rois_fn(feat_i, boxes_i):
+                return roi_align(feat_i, boxes_i, c.roi_output_size,
+                                 c.roi_spatial_scale, c.roi_sampling_ratio,
+                                 precision=c.roi_precision)
+
+            mrois = jax.vmap(mask_rois_fn)(feat0, det_boxes)
+            mask_logits = self.mask_head(
+                mrois.reshape((-1,) + mrois.shape[2:]))
+            mask_probs = jax.nn.sigmoid(
+                mask_logits[..., 1].reshape(
+                    b, c.max_detections, c.mask_size, c.mask_size))
+        else:
+            # Reference behavior: mask logits from the proposal ROIs,
+            # gathered through NMS (custom_maskrcnn.py:170-207).
+            mask_logits = self.mask_head(flat_rois)
+            probs_all = jax.nn.sigmoid(
+                mask_logits[..., 1].reshape(b, d, c.mask_size, c.mask_size))
+            mask_probs = jax.vmap(lambda p, i: p[i])(probs_all, det_idx)
+
+        return detector.Detections(
+            boxes=det_boxes, scores=det_scores,
+            labels=jnp.ones((b, c.max_detections), jnp.int32),
+            valid=det_valid, mask_probs=mask_probs)
 
     def init_forward(self, images: jnp.ndarray, rois: jnp.ndarray):
         """Cheap path touching every submodule once, used only to create

@@ -271,6 +271,20 @@ def main(argv=None, config=None):
                 step_metrics.append(m)
                 n_steps += 1
             mems.append(device_memory_mb())
+        elif mesh is not None and jax.process_count() > 1:
+            # Multi-host (DCN): each process loads only its shard of
+            # every global batch (SURVEY.md §2.7 "host data loading
+            # sharded per-process").
+            from livecell_tpu.data.multihost import ShardedLoader
+
+            loader = ShardedLoader(train_ds, mesh, args.batch_size,
+                                   shuffle=True, seed=args.seed)
+            for images, targets in loader.epoch(epoch):
+                rng, sub = jax.random.split(rng)
+                state, m = train_step(state, images, targets, sub)
+                step_metrics.append(m)
+                mems.append(device_memory_mb())
+                n_steps += 1
         else:
             for images, targets, _ in prefetch(train_ds.batches(
                     args.batch_size, shuffle=True, seed=args.seed + epoch,

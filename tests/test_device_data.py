@@ -133,3 +133,39 @@ def test_indexed_step_on_mesh_matches_single(packed):
     det_0, _ = ev0(p0, b0, jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(det_m.boxes),
                                np.asarray(det_0.boxes), atol=1e-3)
+
+
+def test_sharded_loader_feeds_mesh_train_step(packed):
+    """Multi-host loader (single-process degenerate case) produces
+    globally-sharded batches the mesh train step consumes; batch content
+    equals the host gather."""
+    from livecell_tpu.data.multihost import (
+        ShardedLoader, make_global_batch, process_batch_slice)
+    from livecell_tpu.models.mask_rcnn import create_model
+    from livecell_tpu.parallel.mesh import make_mesh
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_train_step)
+
+    mesh = make_mesh(8, model_parallel=1)
+    assert process_batch_slice(8, mesh) == (0, 8)
+
+    loader = ShardedLoader(packed, mesh, global_batch=8, shuffle=True,
+                           seed=3)
+    images, targets = next(iter(loader.epoch(0)))
+    assert images.shape[0] == 8
+    # Sharded over 'data': 8 single-device shards.
+    assert len(images.sharding.device_set) == 8
+
+    order = np.arange(len(packed))
+    np.random.default_rng(3).shuffle(order)
+    want_images, want_targets = packed.gather(order[:8])
+    assert np.array_equal(np.asarray(images), want_images)
+    assert np.array_equal(np.asarray(targets["boxes"]),
+                          want_targets["boxes"])
+
+    model, variables = create_model(packed.cfg, jax.random.key(0))
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, variables, tx, mesh=mesh)
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    state, metrics = step(state, images, targets, jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
