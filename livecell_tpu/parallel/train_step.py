@@ -71,15 +71,12 @@ def create_train_state(model: CustomMaskRCNN, variables: Dict,
     return state
 
 
-def make_train_step(model: CustomMaskRCNN,
-                    tx: optax.GradientTransformation,
-                    mesh=None, donate: bool = True) -> Callable:
-    """Build the jitted train step.
-
-    step(state, images, targets, rng) -> (state, metrics) where metrics
-    carries the reference loss dict plus the global gradient norm
-    (train_custom.py:47-53, 67-71).
-    """
+def make_step_fn(model: CustomMaskRCNN,
+                 tx: optax.GradientTransformation) -> Callable:
+    """Un-jitted step body: (state, images, targets, rng) ->
+    (state, metrics). Shared by the host-fed train step below and the
+    HBM-resident indexed step (data/device_data.py), so both paths run
+    the exact same program after the batch gather."""
 
     def loss_fn(params, batch_stats, images, targets, rng):
         images, targets = _normalize_batch(images, targets)
@@ -100,6 +97,20 @@ def make_train_step(model: CustomMaskRCNN,
         metrics = {"total_loss": total, "grad_norm": gnorm, **losses}
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return step
+
+
+def make_train_step(model: CustomMaskRCNN,
+                    tx: optax.GradientTransformation,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    step(state, images, targets, rng) -> (state, metrics) where metrics
+    carries the reference loss dict plus the global gradient norm
+    (train_custom.py:47-53, 67-71).
+    """
+    step = make_step_fn(model, tx)
 
     donate_args = (0,) if donate else ()
     if mesh is None:

@@ -242,7 +242,7 @@ def main(argv=None, config=None):
               f"{len(device_train)} tiles"
               + (" (replicated across mesh)" if mesh is not None else ""))
         indexed_step = make_indexed_train_step(model, tx, device_train,
-                                               mesh=mesh)
+                                               mesh=mesh, donate=True)
 
     bsh = batch_sharding(mesh) if mesh is not None else None
 
