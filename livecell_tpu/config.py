@@ -163,6 +163,21 @@ class ModelConfig:
     # class-1 deltas refine final boxes at inference.
     decode_proposals: bool = False
 
+    # Box-coder weights for the second-stage (box head) deltas, active
+    # only with decode_proposals=True: targets are scaled up at encode
+    # and predictions scaled down at decode (torchvision's Fast R-CNN
+    # (10,10,5,5) coding). Sharpens the localization gradient relative
+    # to classification; RPN deltas stay unweighted (1,1,1,1) as in
+    # torchvision.
+    box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+
+    # With decode_proposals=True, additionally supervise RPN deltas on
+    # each GT's single best anchor even when its IoU is below
+    # rpn_pos_iou (torchvision's allow_low_quality_matches). Without
+    # this, GT whose best anchor misses the 0.5 gate get no delta
+    # supervision at all and their decoded proposals are noise.
+    rpn_force_best_anchor: bool = True
+
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_sizes) * len(self.anchor_ratios)

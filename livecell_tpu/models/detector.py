@@ -130,7 +130,16 @@ def rpn_reg_loss(
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
     max_iou = ious.max(axis=1)
     matched = ious.argmax(axis=1)
-    pos = (max_iou >= cfg.rpn_pos_iou).astype(jnp.float32)
+    pos = max_iou >= cfg.rpn_pos_iou
+    if cfg.rpn_force_best_anchor:
+        # Every (valid) GT supervises its single best anchor even below
+        # the positive gate, so no object is left without a trained
+        # delta (torchvision allow_low_quality_matches).
+        best = ious.argmax(axis=0)                       # [M]
+        forced = jnp.zeros(anchors.shape[0], jnp.int32)
+        forced = forced.at[best].max(gt_valid.astype(jnp.int32))
+        pos = pos | (forced > 0)
+    pos = pos.astype(jnp.float32)
 
     targets = encode_boxes(gt_boxes[matched], anchors)
     reg = smooth_l1(deltas.astype(jnp.float32), targets).mean(axis=1)
@@ -176,6 +185,11 @@ def match_head_targets(
 
     matched_boxes = gt_boxes[matched]
     reg_targets = encode_boxes(matched_boxes, proposals)
+    if cfg.decode_proposals:
+        # Weighted box coding (see ModelConfig.box_reg_weights); the
+        # inference decode divides by the same weights.
+        reg_targets = reg_targets * jnp.asarray(cfg.box_reg_weights,
+                                                reg_targets.dtype)
 
     # Mask matching: vs concatenated-batch GT when provided, with the
     # reference's inner > 0.3 check (mask_utils.py:97); the pre-filter at

@@ -229,8 +229,10 @@ class CustomMaskRCNN(nn.Module):
             if c.decode_proposals:
                 # Refine with the box head's class-1 deltas (the slice the
                 # reference trains but never applies,
-                # custom_maskrcnn.py:234).
-                boxes = clip_boxes(decode_boxes(deltas[:, 4:8], boxes),
+                # custom_maskrcnn.py:234), undoing the box-coder weights
+                # the targets were scaled by.
+                w = jnp.asarray(c.box_reg_weights, jnp.float32)
+                boxes = clip_boxes(decode_boxes(deltas[:, 4:8] / w, boxes),
                                    img_size)
             keep = (scores > c.det_score_thresh) & pvalid
             idx, kvalid = nms_fn(boxes, scores, c.det_nms_thresh,

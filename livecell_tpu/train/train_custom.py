@@ -111,6 +111,9 @@ def main(argv=None, config=None):
                         help="enable jax_debug_nans (fail fast at the op "
                              "producing a NaN; the sanitizer hook, "
                              "SURVEY.md §5)")
+    parser.add_argument("--lr_step_size", type=int, default=None,
+                        help="decay LR by lr_gamma every N epochs "
+                             "(default: the reference's StepLR(2, 0.1))")
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
@@ -194,7 +197,7 @@ def main(argv=None, config=None):
 
     tx, schedule = build_optimizer(
         args.lr, cfg.train.weight_decay, steps_per_epoch,
-        cfg.train.lr_step_size, cfg.train.lr_gamma)
+        args.lr_step_size or cfg.train.lr_step_size, cfg.train.lr_gamma)
 
     mesh = None
     if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:

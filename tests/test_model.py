@@ -177,3 +177,51 @@ def test_train_and_infer_decode_proposals():
     # Refined boxes stay clipped to the image.
     assert (b[..., 0::2] >= 0).all() and \
         (b[..., 0::2] <= cfg.image_width).all()
+
+
+def test_weighted_box_coding_roundtrip():
+    """Weighted encode in match_head_targets inverts through the
+    inference-side decode: decode(targets / w, proposals) == GT."""
+    from livecell_tpu.models import detector
+    from livecell_tpu.ops.boxes import decode_boxes
+
+    cfg = dataclasses.replace(TINY, decode_proposals=True)
+    rng = np.random.default_rng(3)
+    gt = np.array([[10, 10, 40, 34], [50, 20, 80, 52]], np.float32)
+    gtb = np.zeros((cfg.max_instances, 4), np.float32)
+    gtb[:2] = gt
+    gtv = np.zeros(cfg.max_instances, bool); gtv[:2] = True
+    props = jnp.asarray(gt + rng.uniform(-3, 3, gt.shape).astype(np.float32))
+    t = detector.match_head_targets(
+        props, jnp.ones(2, bool), jnp.asarray(gtb), jnp.asarray(gtv),
+        jnp.zeros((cfg.max_instances, 28, 28), jnp.float32), cfg)
+    w = jnp.asarray(cfg.box_reg_weights, jnp.float32)
+    back = np.asarray(decode_boxes(t.reg_targets / w, props))
+    np.testing.assert_allclose(back, gt, atol=1e-3)
+    # Targets really are scaled: compare against unweighted cfg.
+    t0 = detector.match_head_targets(
+        props, jnp.ones(2, bool), jnp.asarray(gtb), jnp.asarray(gtv),
+        jnp.zeros((cfg.max_instances, 28, 28), jnp.float32), TINY)
+    np.testing.assert_allclose(np.asarray(t.reg_targets),
+                               np.asarray(t0.reg_targets) * np.asarray(w),
+                               rtol=1e-5)
+
+
+def test_rpn_reg_loss_forces_best_anchor():
+    """A GT whose best anchor IoU is below rpn_pos_iou still gets delta
+    supervision when rpn_force_best_anchor is set."""
+    from livecell_tpu.models import detector
+
+    cfg = dataclasses.replace(TINY, decode_proposals=True)
+    # One anchor at 0.45 IoU with the single GT (below the 0.5 gate).
+    anchors = jnp.asarray([[0., 0., 20., 20.], [100., 100., 130., 130.]])
+    gt = jnp.asarray([[0., 0., 20., 9.]])        # IoU 0.45 with anchor 0
+    gtv = jnp.asarray([True])
+    deltas = jnp.ones((2, 4), jnp.float32)       # wrong deltas -> loss > 0
+
+    loss = detector.rpn_reg_loss(deltas, anchors, gt, gtv, cfg)
+    assert float(loss) > 0.0
+
+    off = dataclasses.replace(cfg, rpn_force_best_anchor=False)
+    loss_off = detector.rpn_reg_loss(deltas, anchors, gt, gtv, off)
+    assert float(loss_off) == 0.0
