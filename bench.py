@@ -16,9 +16,16 @@ this image has no GPU, so two anchors are reported:
     actual 4 GB CUDA setup (train_transfer.py:347), kept only for
     context: ~10 img/s.
 vs_baseline = ours / gpu_estimate (the conservative comparison);
-vs_cpu_baseline = ours / measured_cpu_baseline. MFU is computed from the
-compiled step's XLA flop count against the v5e bf16 peak when the cost
-model is queryable.
+vs_cpu_baseline = ours / measured_cpu_baseline.
+
+Timing methodology: the measured loop ends with a host fetch of the last
+step's scalar loss, NOT just block_until_ready — on the axon tunnel
+block_until_ready returns before execution finishes (it reported a
+step rate 4.5x over the chip's theoretical bf16 peak). A value fetch
+cannot lie: the scalar only exists after the whole chained program ran.
+MFU is computed from an analytic jaxpr walk of the step's conv+matmul
+FLOPs (livecell_tpu/utils/flops.py) against the v5e bf16 peak; XLA's
+cost_analysis() over-reports on this backend.
 """
 
 from __future__ import annotations
@@ -145,29 +152,29 @@ def main():
     for s in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, images, targets, sub)
-    jax.block_until_ready(metrics)
+    float(metrics["total_loss"])  # drain the pipeline for real
 
     t0 = time.perf_counter()
     for s in range(MEASURE_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, images, targets, sub)
-    jax.block_until_ready(metrics)
+    # Fetch a scalar that transitively depends on every measured step —
+    # the only sync the tunnel can't acknowledge early.
+    final_loss = float(metrics["total_loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     img_per_sec = BATCH_SIZE * MEASURE_STEPS / dt
     sec_per_step = dt / MEASURE_STEPS
 
-    # MFU from XLA's cost model when queryable (flops of the compiled
-    # train step / wall time / chip peak).
-    mfu = None
+    # MFU from the analytic conv+matmul flop count of the step.
+    mfu = flops = None
     try:
-        lowered = step_fn.lower(state, images, targets, key)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            mfu = round(flops / sec_per_step / V5E_PEAK_BF16_FLOPS, 4)
+        from livecell_tpu.parallel.train_step import make_step_fn
+        from livecell_tpu.utils.flops import count_flops
+        flops = count_flops(make_step_fn(model, tx), state, images,
+                            targets, key)
+        mfu = round(flops / sec_per_step / V5E_PEAK_BF16_FLOPS, 4)
     except Exception:
         pass
 
@@ -191,6 +198,7 @@ def main():
             img_per_sec / baseline["img_per_sec"], 2)
     if mfu is not None:
         record["mfu"] = mfu
+        record["analytic_tflop_per_step"] = round(flops / 1e12, 3)
     print(json.dumps(record))
 
 
