@@ -235,7 +235,7 @@ def main(argv=None, config=None):
     use_device_data = args.device_data in ("on", "auto")
     if use_device_data:
         from livecell_tpu.data.device_data import (
-            DeviceDataset, make_indexed_train_step)
+            DeviceDataset, make_epoch_train_fn)
 
         # With a mesh the split replicates across devices and only the
         # [B] index vector is data-sharded (see device_data.py).
@@ -244,8 +244,8 @@ def main(argv=None, config=None):
               f"{device_train.nbytes / 2**20:.0f} MB for "
               f"{len(device_train)} tiles"
               + (" (replicated across mesh)" if mesh is not None else ""))
-        indexed_step = make_indexed_train_step(model, tx, device_train,
-                                               mesh=mesh, donate=True)
+        epoch_train = make_epoch_train_fn(model, tx, device_train,
+                                          mesh=mesh, donate=True)
 
     bsh = batch_sharding(mesh) if mesh is not None else None
 
@@ -267,12 +267,15 @@ def main(argv=None, config=None):
         if device_train is not None:
             from livecell_tpu.data.device_data import epoch_indices
 
-            for idx in epoch_indices(len(device_train), args.batch_size,
-                                     True, args.seed + epoch):
-                rng, sub = jax.random.split(rng)
-                state, m = indexed_step(state, jnp.asarray(idx), sub)
-                step_metrics.append(m)
-                n_steps += 1
+            idx_mat = epoch_indices(len(device_train), args.batch_size,
+                                    True, args.seed + epoch)
+            rng, sub = jax.random.split(rng)
+            # One dispatch for the whole epoch (lax.scan over steps).
+            state, stacked = epoch_train(state, idx_mat, sub)
+            stacked = jax.device_get(stacked)
+            n_steps = idx_mat.shape[0]
+            step_metrics = [{k: v[i] for k, v in stacked.items()}
+                            for i in range(n_steps)]
             mems.append(device_memory_mb())
         elif mesh is not None and jax.process_count() > 1:
             # Multi-host (DCN): each process loads only its shard of
