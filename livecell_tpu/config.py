@@ -137,6 +137,14 @@ class ModelConfig:
     # Static instance-slot count for padded ground truth.
     max_instances: int = 128
 
+    # Fixed mode only: run the mask head on the top-N mask-fg-ranked
+    # sampled proposals instead of all train_num_samples (0 = all, the
+    # reference behavior, custom_maskrcnn.py:124). The mask loss zeroes
+    # non-fg proposals anyway, so when the per-image fg count is <= N
+    # the loss is identical and the mask head's train FLOPs (~70% of the
+    # fixed-mode step) shrink by train_num_samples/N.
+    mask_train_samples: int = 0
+
     # Compute dtype for the conv/matmul path (params stay f32).
     compute_dtype: str = "bfloat16"
 

@@ -238,10 +238,18 @@ def box_losses(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
 def mask_loss(mask_logits: jnp.ndarray, t: HeadTargets) -> jnp.ndarray:
     """BCE on class-1 mask logits over mask-fg proposals
     (reference mask_utils.py:117-126)."""
+    return mask_loss_on(mask_logits, t.mask_targets, t.mask_weight)
+
+
+def mask_loss_on(mask_logits: jnp.ndarray, mask_targets: jnp.ndarray,
+                 mask_weight: jnp.ndarray) -> jnp.ndarray:
+    """mask_loss on explicit (targets, weights) — used by the fixed-mode
+    fg-subset path, where the mask head runs on a gathered subset of the
+    sampled proposals instead of all of them."""
     logits1 = mask_logits[..., 1].astype(jnp.float32)       # [K, 28, 28]
-    per = bce_with_logits(logits1, t.mask_targets).mean(axis=(1, 2))
-    loss = (per * t.mask_weight).sum() / jnp.maximum(t.mask_weight.sum(), 1.0)
-    return jnp.where(t.mask_weight.sum() > 0, loss, 0.0)
+    per = bce_with_logits(logits1, mask_targets).mean(axis=(1, 2))
+    loss = (per * mask_weight).sum() / jnp.maximum(mask_weight.sum(), 1.0)
+    return jnp.where(mask_weight.sum() > 0, loss, 0.0)
 
 
 class Detections(NamedTuple):

@@ -143,6 +143,9 @@ class CustomMaskRCNN(nn.Module):
         keys = jax.random.split(k_prop, b)
         rpn_keys = jax.random.split(k_rpn, b)
 
+        m = c.mask_train_samples
+        use_subset = 0 < m < c.train_num_samples
+
         def per_image(obj_i, dlt_i, feat_i, boxes_i, valid_i, mask28_i,
                       kp, kr):
             loss_rpn = detector.rpn_loss_single(
@@ -163,20 +166,36 @@ class CustomMaskRCNN(nn.Module):
                              precision=c.roi_precision)
             t = detector.match_head_targets(
                 props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
-            return rois, t, loss_rpn, loss_rpn_reg
+            if use_subset:
+                # Mask-fg proposals first (stable sort keeps proposal
+                # order among equals); the mask head then runs on the
+                # first m only. Identical loss while fg count <= m.
+                order = jnp.argsort(-t.mask_weight)[:m]
+                msel = (rois[order], t.mask_targets[order],
+                        t.mask_weight[order])
+            else:
+                msel = None
+            return rois, t, msel, loss_rpn, loss_rpn_reg
 
-        rois, t, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
+        rois, t, msel, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
             obj, rpn_dlt, feat0, targets["boxes"], targets["valid"],
             targets["mask28"], keys, rpn_keys)
 
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
         cls_logits, box_deltas = self.box_head(flat_rois)
-        mask_logits = self.mask_head(flat_rois)
         flat_t = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), t)
         losses = detector.box_losses(cls_logits, box_deltas, flat_t,
                                      c.num_classes)
-        losses["loss_mask"] = detector.mask_loss(mask_logits, flat_t)
+        if use_subset:
+            mrois, mtargets, mweight = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), msel)
+            mask_logits = self.mask_head(mrois)
+            losses["loss_mask"] = detector.mask_loss_on(
+                mask_logits, mtargets, mweight)
+        else:
+            mask_logits = self.mask_head(flat_rois)
+            losses["loss_mask"] = detector.mask_loss(mask_logits, flat_t)
         losses["loss_rpn_cls"] = loss_rpn.mean()
         if c.decode_proposals:
             losses["loss_rpn_reg"] = loss_rpn_reg.mean()

@@ -111,6 +111,10 @@ def main(argv=None, config=None):
                         help="enable jax_debug_nans (fail fast at the op "
                              "producing a NaN; the sanitizer hook, "
                              "SURVEY.md §5)")
+    parser.add_argument("--mask_samples", type=int, default=0,
+                        help="fixed mode: run the mask head on the top-N "
+                             "mask-fg proposals only (0 = all sampled "
+                             "proposals, the reference behavior)")
     parser.add_argument("--lr_step_size", type=int, default=None,
                         help="decay LR by lr_gamma every N epochs "
                              "(default: the reference's StepLR(2, 0.1))")
@@ -140,12 +144,13 @@ def main(argv=None, config=None):
         enable_nan_debug(True)
     cfg = config or Config()
     mcfg = cfg.model
-    if args.fixed_heads or args.decode_proposals:
+    if args.fixed_heads or args.decode_proposals or args.mask_samples:
         import dataclasses
 
         mcfg = dataclasses.replace(
             mcfg, heads_all_images=args.fixed_heads or mcfg.heads_all_images,
-            decode_proposals=args.decode_proposals or mcfg.decode_proposals)
+            decode_proposals=args.decode_proposals or mcfg.decode_proposals,
+            mask_train_samples=args.mask_samples or mcfg.mask_train_samples)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")

@@ -225,3 +225,29 @@ def test_rpn_reg_loss_forces_best_anchor():
     off = dataclasses.replace(cfg, rpn_force_best_anchor=False)
     loss_off = detector.rpn_reg_loss(deltas, anchors, gt, gtv, off)
     assert float(loss_off) == 0.0
+
+
+def test_mask_train_subset_loss_identical():
+    """With mask_train_samples >= the per-image fg count, the fg-subset
+    mask path computes the exact same loss dict as running the mask head
+    on every sampled proposal."""
+    cfg_full = dataclasses.replace(TINY, heads_all_images=True,
+                                   decode_proposals=True)
+    cfg_sub = dataclasses.replace(cfg_full, mask_train_samples=8)
+    images, targets = synthetic_batch(cfg_full, b=2, n_inst=3)
+
+    model_full, variables = create_model(cfg_full, jax.random.key(0))
+    model_sub = CustomMaskRCNN(cfg_sub)
+
+    def losses(model):
+        out, _ = model.apply(
+            variables, images, targets,
+            rngs={"sampling": jax.random.key(4)},
+            mutable=["batch_stats"], method=model.train_forward)
+        return jax.tree.map(float, out)
+
+    lf = losses(model_full)
+    ls = losses(model_sub)
+    assert set(lf) == set(ls)
+    for k in lf:
+        np.testing.assert_allclose(ls[k], lf[k], rtol=1e-6, err_msg=k)
