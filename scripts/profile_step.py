@@ -1,12 +1,13 @@
-"""Profile the bs=32 train step: xprof trace artifact, step MFU from
-XLA's cost model, and the RoIAlign einsums' share of step time (measured
-by timing the jitted op alone at the production shape).
+"""Profile the train step: xprof trace artifact + step MFU from the
+analytic jaxpr flop count (utils/flops.py). Timing uses value-fetch
+sync; the tunnel's block_until_ready returns early for this program.
 
-Closes the "Pallas-RoIAlign deferred on an unmeasured premise" item:
-the einsum RoIAlign's cost share decides whether a hand kernel is worth
-writing.
+Per-op time shares come from parsing the trace's vm.trace.json.gz
+(thread 'XLA Ops'), not from timing ops standalone — a standalone
+dispatch measures tunnel RTT, not device time.
 
-  python scripts/profile_step.py [--bs 32] [--trace outputs/xprof]
+  python scripts/profile_step.py [--bs 32] [--fixed] [--mask_samples N]
+                                 [--trace outputs/xprof]
 """
 
 import argparse
@@ -20,6 +21,9 @@ def main():
     parser.add_argument("--bs", type=int, default=32)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--trace", type=str, default="outputs/xprof")
+    parser.add_argument("--fixed", action="store_true",
+                        help="profile the fixed+decode quality mode")
+    parser.add_argument("--mask_samples", type=int, default=0)
     args = parser.parse_args()
 
     import jax
@@ -29,14 +33,15 @@ def main():
 
     from livecell_tpu.config import ModelConfig
     from livecell_tpu.models.mask_rcnn import create_model
-    from livecell_tpu.ops.roi_align import roi_align
     from livecell_tpu.parallel.train_step import (
         create_train_state, make_train_step)
     from livecell_tpu.utils.compilation_cache import enable_compilation_cache
     from livecell_tpu.utils.profiling import trace
 
     enable_compilation_cache()
-    cfg = ModelConfig()
+    cfg = ModelConfig(heads_all_images=args.fixed,
+                      decode_proposals=args.fixed,
+                      mask_train_samples=args.mask_samples)
     model, variables = create_model(cfg, jax.random.key(0))
     tx = optax.adamw(1e-3, weight_decay=1e-4)
     state = create_train_state(model, variables, tx)
@@ -63,11 +68,11 @@ def main():
     key = jax.random.key(1)
 
     state, m = step_fn(state, images, targets, key)
-    jax.block_until_ready(m)
+    float(m["total_loss"])  # value fetch: the only sync the tunnel honors
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, m = step_fn(state, images, targets, key)
-    jax.block_until_ready(m)
+    float(m["total_loss"])
     step_ms = (time.perf_counter() - t0) / args.steps * 1000
 
     # Trace artifact (3 steps).
@@ -77,47 +82,24 @@ def main():
         jax.block_until_ready(m)
     print(f"xprof trace written to {args.trace}", file=sys.stderr)
 
-    # MFU via XLA cost model.
+    # MFU from the analytic jaxpr flop count (XLA cost_analysis
+    # over-reports ~4x on this backend).
     mfu = flops = None
     try:
-        cost = step_fn.lower(state, images, targets, key) \
-            .compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops:
-            mfu = flops / (step_ms / 1000) / 197e12
+        from livecell_tpu.parallel.train_step import make_step_fn
+        from livecell_tpu.utils.flops import count_flops
+
+        flops = count_flops(make_step_fn(model, tx), state, images,
+                            targets, key)
+        mfu = flops / (step_ms / 1000) / 197e12
     except Exception as e:
-        print(f"cost model unavailable: {e}", file=sys.stderr)
-
-    # RoIAlign-alone time at the production shape (B*K ROIs/step in
-    # fixed mode; quirk mode uses K for image 0 only).
-    feat = jnp.asarray(rng.uniform(size=(
-        b, cfg.feature_height, cfg.feature_width, cfg.fpn_channels)
-    ).astype(np.float32))
-    rois_boxes = jnp.asarray(
-        boxes[:, :cfg.train_num_samples].astype(np.float32))
-
-    @jax.jit
-    def roi_only(f, bx):
-        return jax.vmap(lambda fi, bi: roi_align(
-            fi, bi, cfg.roi_output_size, cfg.roi_spatial_scale,
-            cfg.roi_sampling_ratio))(f, bx)
-
-    out = jax.block_until_ready(roi_only(feat, rois_boxes))
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = roi_only(feat, rois_boxes)
-    jax.block_until_ready(out)
-    roi_ms = (time.perf_counter() - t0) / args.steps * 1000
+        print(f"flop count unavailable: {e}", file=sys.stderr)
 
     print(json.dumps({
         "step_ms": round(step_ms, 2),
         "img_per_sec": round(b / (step_ms / 1000), 1),
-        "flops_per_step": flops,
+        "analytic_flops_per_step": flops,
         "mfu": round(mfu, 4) if mfu else None,
-        "roi_align_ms": round(roi_ms, 3),
-        "roi_share_pct": round(100 * roi_ms / step_ms, 2),
         "trace_dir": args.trace,
     }))
 
