@@ -71,6 +71,22 @@ class CustomMaskRCNN(nn.Module):
             (c.feature_height, c.feature_width), c.anchor_stride,
             c.anchor_sizes, c.anchor_ratios))
 
+    def _roi_align(self, feats: jnp.ndarray, boxes: jnp.ndarray
+                   ) -> jnp.ndarray:
+        """Batched RoIAlign [B,H,W,C],[B,K,4] -> [B,K,s,s,C] via the
+        configured backend (einsum contractions or the fused Pallas
+        kernel, ops/pallas_roi_align.py)."""
+        c = self.cfg
+        if c.roi_backend == "pallas":
+            from livecell_tpu.ops.pallas_roi_align import roi_align_pallas
+
+            return roi_align_pallas(
+                feats, boxes, c.roi_output_size, c.roi_spatial_scale,
+                c.roi_sampling_ratio)
+        return jax.vmap(lambda f, b: roi_align(
+            f, b, c.roi_output_size, c.roi_spatial_scale,
+            c.roi_sampling_ratio, precision=c.roi_precision))(feats, boxes)
+
     # ------------------------------------------------------------------
     # Training (reference forward_train, custom_maskrcnn.py:85-142).
     # ------------------------------------------------------------------
@@ -98,7 +114,11 @@ class CustomMaskRCNN(nn.Module):
                 targets["boxes"], targets["valid"], k_rpn, c)
 
             obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
-            src_boxes = decode_boxes(rpn_dlt[0], anchors) \
+            # Proposals are detached (torchvision RPN semantics): the
+            # RPN trains only through its own losses, not through the
+            # head losses' dependence on proposal geometry.
+            src_boxes = jax.lax.stop_gradient(
+                decode_boxes(rpn_dlt[0], anchors)) \
                 if c.decode_proposals else anchors
             props = training_proposals(
                 obj0, src_boxes, img_size, k_prop, c.train_pre_topk,
@@ -106,9 +126,7 @@ class CustomMaskRCNN(nn.Module):
                 c.train_num_samples)
 
             feat0 = feats[0][0].astype(jnp.float32)
-            rois = roi_align(feat0, props.boxes, c.roi_output_size,
-                             c.roi_spatial_scale, c.roi_sampling_ratio,
-                             precision=c.roi_precision)
+            rois = self._roi_align(feat0[None], props.boxes[None])[0]
             cls_logits, box_deltas = self.box_head(rois)
             mask_logits = self.mask_head(rois)
 
@@ -151,7 +169,9 @@ class CustomMaskRCNN(nn.Module):
             loss_rpn = detector.rpn_loss_single(
                 obj_i, anchors, boxes_i, valid_i, kr, c)
             if c.decode_proposals:
-                src_boxes = decode_boxes(dlt_i, anchors)
+                # Detached, as in the quirk branch above.
+                src_boxes = jax.lax.stop_gradient(
+                    decode_boxes(dlt_i, anchors))
                 loss_rpn_reg = detector.rpn_reg_loss(
                     dlt_i, anchors, boxes_i, valid_i, c)
             else:
@@ -161,9 +181,6 @@ class CustomMaskRCNN(nn.Module):
                 obj_i, src_boxes, img_size, kp, c.train_pre_topk,
                 c.train_score_thresh, c.train_min_box_size,
                 c.train_num_samples)
-            rois = roi_align(feat_i, props.boxes, c.roi_output_size,
-                             c.roi_spatial_scale, c.roi_sampling_ratio,
-                             precision=c.roi_precision)
             t = detector.match_head_targets(
                 props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
             if use_subset:
@@ -171,16 +188,19 @@ class CustomMaskRCNN(nn.Module):
                 # order among equals); the mask head then runs on the
                 # first m only. Identical loss while fg count <= m.
                 order = jnp.argsort(-t.mask_weight)[:m]
-                msel = (rois[order], t.mask_targets[order],
+                msel = (order, t.mask_targets[order],
                         t.mask_weight[order])
             else:
                 msel = None
-            return rois, t, msel, loss_rpn, loss_rpn_reg
+            return props.boxes, t, msel, loss_rpn, loss_rpn_reg
 
-        rois, t, msel, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
+        prop_boxes, t, msel, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
             obj, rpn_dlt, feat0, targets["boxes"], targets["valid"],
             targets["mask28"], keys, rpn_keys)
 
+        # RoIAlign batched over the whole batch (outside the vmap so the
+        # Pallas backend sees one [B, K, 4] call).
+        rois = self._roi_align(feat0, prop_boxes)
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
         cls_logits, box_deltas = self.box_head(flat_rois)
         flat_t = jax.tree.map(
@@ -188,11 +208,14 @@ class CustomMaskRCNN(nn.Module):
         losses = detector.box_losses(cls_logits, box_deltas, flat_t,
                                      c.num_classes)
         if use_subset:
-            mrois, mtargets, mweight = jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), msel)
-            mask_logits = self.mask_head(mrois)
+            orders, mtargets, mweight = msel
+            mrois = jax.vmap(lambda r, o: r[o])(rois, orders)
+            mask_logits = self.mask_head(
+                mrois.reshape((-1,) + mrois.shape[2:]))
             losses["loss_mask"] = detector.mask_loss_on(
-                mask_logits, mtargets, mweight)
+                mask_logits,
+                mtargets.reshape((-1,) + mtargets.shape[2:]),
+                mweight.reshape(-1))
         else:
             mask_logits = self.mask_head(flat_rois)
             losses["loss_mask"] = detector.mask_loss(mask_logits, flat_t)
@@ -222,19 +245,16 @@ class CustomMaskRCNN(nn.Module):
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
         rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
 
-        def per_image(obj_i, dlt_i, feat_i):
+        def per_image(obj_i, dlt_i):
             src_boxes = decode_boxes(dlt_i, anchors) \
                 if c.decode_proposals else anchors
-            props = inference_proposals(
+            return inference_proposals(
                 obj_i, src_boxes, img_size, c.infer_pre_topk,
                 c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
                 c.infer_min_box_size, nms_fn=nms_fn)
-            rois = roi_align(feat_i, props.boxes, c.roi_output_size,
-                             c.roi_spatial_scale, c.roi_sampling_ratio,
-                             precision=c.roi_precision)
-            return props, rois
 
-        props, rois = jax.vmap(per_image)(obj, rpn_dlt, feat0)
+        props = jax.vmap(per_image)(obj, rpn_dlt)
+        rois = self._roi_align(feat0, props.boxes)
 
         flat_rois = rois.reshape((-1,) + rois.shape[2:])
         cls_logits, head_deltas = self.box_head(flat_rois)
@@ -270,12 +290,7 @@ class CustomMaskRCNN(nn.Module):
             # consistent. Extracting at the raw proposal but pasting at
             # the refined box (the naive composition) misaligns masks by
             # exactly the refinement shift and caps mask AP75.
-            def mask_rois_fn(feat_i, boxes_i):
-                return roi_align(feat_i, boxes_i, c.roi_output_size,
-                                 c.roi_spatial_scale, c.roi_sampling_ratio,
-                                 precision=c.roi_precision)
-
-            mrois = jax.vmap(mask_rois_fn)(feat0, det_boxes)
+            mrois = self._roi_align(feat0, det_boxes)
             mask_logits = self.mask_head(
                 mrois.reshape((-1,) + mrois.shape[2:]))
             mask_probs = jax.nn.sigmoid(
