@@ -115,6 +115,10 @@ def main(argv=None, config=None):
                         help="fixed mode: run the mask head on the top-N "
                              "mask-fg proposals only (0 = all sampled "
                              "proposals, the reference behavior)")
+    parser.add_argument("--roi_backend", type=str, default=None,
+                        choices=["einsum", "pallas"],
+                        help="RoIAlign backend (pallas = fused VMEM "
+                             "kernel, TPU only; ~13%% faster step)")
     parser.add_argument("--lr_step_size", type=int, default=None,
                         help="decay LR by lr_gamma every N epochs "
                              "(default: the reference's StepLR(2, 0.1))")
@@ -144,13 +148,15 @@ def main(argv=None, config=None):
         enable_nan_debug(True)
     cfg = config or Config()
     mcfg = cfg.model
-    if args.fixed_heads or args.decode_proposals or args.mask_samples:
+    if args.fixed_heads or args.decode_proposals or args.mask_samples \
+            or args.roi_backend:
         import dataclasses
 
         mcfg = dataclasses.replace(
             mcfg, heads_all_images=args.fixed_heads or mcfg.heads_all_images,
             decode_proposals=args.decode_proposals or mcfg.decode_proposals,
-            mask_train_samples=args.mask_samples or mcfg.mask_train_samples)
+            mask_train_samples=args.mask_samples or mcfg.mask_train_samples,
+            roi_backend=args.roi_backend or mcfg.roi_backend)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")
