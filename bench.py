@@ -103,28 +103,26 @@ def measure_torch_cpu_baseline(steps: int = 3) -> dict:
     return result
 
 
-def main():
+def measure_step(cfg, batch_size: int, steps: int = MEASURE_STEPS):
+    """Value-fetch-timed train step at `cfg`; returns (img/s, mfu,
+    tflop/step)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
-    from livecell_tpu.config import ModelConfig
     from livecell_tpu.models.mask_rcnn import create_model
     from livecell_tpu.parallel.train_step import (
-        create_train_state, make_train_step)
-    from livecell_tpu.utils.compilation_cache import enable_compilation_cache
+        create_train_state, make_step_fn, make_train_step)
+    from livecell_tpu.utils.flops import count_flops
 
-    enable_compilation_cache()
-
-    cfg = ModelConfig()
     model, variables = create_model(cfg, jax.random.key(0))
     tx = optax.adamw(1e-3, weight_decay=1e-4)
     state = create_train_state(model, variables, tx)
     step_fn = make_train_step(model, tx, donate=True)
 
     rng = np.random.default_rng(0)
-    b, h, w, i = BATCH_SIZE, cfg.image_height, cfg.image_width, \
+    b, h, w, i = batch_size, cfg.image_height, cfg.image_width, \
         cfg.max_instances
     # uint8 batches + on-device normalization: the production path.
     images = jnp.asarray(
@@ -155,7 +153,7 @@ def main():
     float(metrics["total_loss"])  # drain the pipeline for real
 
     t0 = time.perf_counter()
-    for s in range(MEASURE_STEPS):
+    for s in range(steps):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, images, targets, sub)
     # Fetch a scalar that transitively depends on every measured step —
@@ -164,19 +162,40 @@ def main():
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 
-    img_per_sec = BATCH_SIZE * MEASURE_STEPS / dt
-    sec_per_step = dt / MEASURE_STEPS
+    img_per_sec = b * steps / dt
+    sec_per_step = dt / steps
 
     # MFU from the analytic conv+matmul flop count of the step.
     mfu = flops = None
     try:
-        from livecell_tpu.parallel.train_step import make_step_fn
-        from livecell_tpu.utils.flops import count_flops
         flops = count_flops(make_step_fn(model, tx), state, images,
                             targets, key)
         mfu = round(flops / sec_per_step / V5E_PEAK_BF16_FLOPS, 4)
     except Exception:
         pass
+    return img_per_sec, mfu, flops
+
+
+def main():
+    import jax
+
+    from livecell_tpu.config import ModelConfig
+    from livecell_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # Headline: the reference's own training semantics (quirk mode).
+    img_per_sec, mfu, flops = measure_step(ModelConfig(), BATCH_SIZE)
+
+    # Secondary: the flagship quality mode (every quirk fixed, Pallas
+    # RoIAlign, fg-subset mask head) at its tuned batch size.
+    try:
+        fixed_cfg = ModelConfig(heads_all_images=True,
+                                decode_proposals=True,
+                                mask_train_samples=64)
+        fixed_img_per_sec, fixed_mfu, _ = measure_step(fixed_cfg, 16)
+    except Exception:
+        fixed_img_per_sec = fixed_mfu = None
 
     try:
         baseline = measure_torch_cpu_baseline()
@@ -199,6 +218,10 @@ def main():
     if mfu is not None:
         record["mfu"] = mfu
         record["analytic_tflop_per_step"] = round(flops / 1e12, 3)
+    if fixed_img_per_sec is not None:
+        record["fixed_mode_img_per_sec"] = round(fixed_img_per_sec, 2)
+        record["fixed_mode_mfu"] = fixed_mfu
+        record["fixed_mode_batch_size"] = 16
     print(json.dumps(record))
 
 

@@ -156,10 +156,11 @@ class ModelConfig:
     # inputs; "highest" = exact fp32 parity with the CUDA kernel).
     roi_precision: str = "default"
 
-    # RoIAlign backend: "einsum" (XLA MXU contractions) or "pallas"
+    # RoIAlign backend: "einsum" (XLA MXU contractions), "pallas"
     # (fused VMEM kernel, TPU only — keeps the row-interpolated
-    # intermediate on-chip; see ops/pallas_roi_align.py).
-    roi_backend: str = "einsum"
+    # intermediate on-chip; see ops/pallas_roi_align.py), or "auto"
+    # (pallas on TPU hardware, einsum elsewhere).
+    roi_backend: str = "auto"
 
     # Quirk-fix switches. The reference trains the box/mask heads on
     # batch element 0 only and supervises RPN objectness of image 0

@@ -77,7 +77,13 @@ class CustomMaskRCNN(nn.Module):
         configured backend (einsum contractions or the fused Pallas
         kernel, ops/pallas_roi_align.py)."""
         c = self.cfg
-        if c.roi_backend == "pallas":
+        backend = c.roi_backend
+        if backend == "auto":
+            # Pallas only on real TPU hardware ("tpu", or "axon" for the
+            # tunneled chip); the CPU test mesh stays on einsum.
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform in ("tpu", "axon") else "einsum"
+        if backend == "pallas":
             from livecell_tpu.ops.pallas_roi_align import roi_align_pallas
 
             return roi_align_pallas(

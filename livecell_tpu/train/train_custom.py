@@ -116,7 +116,7 @@ def main(argv=None, config=None):
                              "mask-fg proposals only (0 = all sampled "
                              "proposals, the reference behavior)")
     parser.add_argument("--roi_backend", type=str, default=None,
-                        choices=["einsum", "pallas"],
+                        choices=["auto", "einsum", "pallas"],
                         help="RoIAlign backend (pallas = fused VMEM "
                              "kernel, TPU only; ~13%% faster step)")
     parser.add_argument("--lr_step_size", type=int, default=None,
