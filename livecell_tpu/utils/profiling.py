@@ -33,18 +33,27 @@ def trace(log_dir: str = "outputs/profile"):
 
 def time_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10,
             **kw) -> Dict[str, float]:
-    """Median/mean steady-state latency of a jitted callable."""
+    """Median/mean steady-state latency of a jitted callable.
+
+    Each iteration ends with a host fetch of one output leaf, not just
+    block_until_ready — the tunneled TPU backend acknowledges
+    block_until_ready before execution finishes, but a value fetch
+    cannot complete early. (This also matches what a serving caller
+    observes: results are only useful on the host.)"""
     import jax
     import numpy as np
 
+    def sync(out):
+        np.asarray(jax.tree.leaves(out)[0])
+
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
     return {"mean_s": float(np.mean(times)),
             "median_s": float(np.median(times)),
