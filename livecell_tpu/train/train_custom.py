@@ -186,6 +186,23 @@ def main(argv=None, config=None):
     val_ds = datasets.get("val")
     test_ds = datasets.get("test")
 
+    # Size the static instance slots to the data (the reference has no
+    # padding at all — it iterates true GT lists — so matching the
+    # observed max is semantics-preserving). Shrinking cuts every
+    # anchor-GT matching matrix and the GT transfer; growing (capped)
+    # removes the silent-truncation risk on dense tiles.
+    observed = max((int(ds.instance_counts().max())
+                    for ds in datasets.values() if len(ds)), default=0)
+    auto_i = min(max(32, -(-observed // 32) * 32), 512)
+    if observed and auto_i != mcfg.max_instances:
+        import dataclasses
+
+        print(f"  Instance slots: {mcfg.max_instances} -> {auto_i} "
+              f"(split max {observed} instances/tile)")
+        mcfg = dataclasses.replace(mcfg, max_instances=auto_i)
+        for ds in datasets.values():
+            ds.cfg = mcfg
+
     steps_per_epoch = len(train_ds) // args.batch_size
     if steps_per_epoch == 0:
         raise ValueError("batch_size larger than the training split")
