@@ -57,8 +57,9 @@ def _select_top(mask: jnp.ndarray, pri: jnp.ndarray, kmax: int,
     priorities (iid uniforms; a float32 tie at the threshold would admit
     one extra element with probability ~1e-5 per step).
     """
+    kmax = min(kmax, pri.shape[0])
     vals = jax.lax.top_k(jnp.where(mask, pri, -jnp.inf), kmax)[0]
-    thr = vals[jnp.maximum(count, 1) - 1]
+    thr = vals[jnp.minimum(jnp.maximum(count, 1), kmax) - 1]
     return mask & (pri >= thr) & (count > 0)
 
 

@@ -119,6 +119,14 @@ def main(argv=None, config=None):
                         choices=["auto", "einsum", "pallas"],
                         help="RoIAlign backend (pallas = fused VMEM "
                              "kernel, TPU only; ~13%% faster step)")
+    parser.add_argument("--dets", type=int, default=0,
+                        help="detection budget per tile (sets "
+                             "infer_post_nms = max_detections = N and "
+                             "infer_pre_topk = 5N). The reference caps "
+                             "at 50 (proposal_utils.py:33-59), which "
+                             "structurally bounds recall on dense tiles "
+                             "(LIVECell tiles can exceed 100 cells); "
+                             "0 keeps the reference caps")
     parser.add_argument("--lr_step_size", type=int, default=None,
                         help="decay LR by lr_gamma every N epochs "
                              "(default: the reference's StepLR(2, 0.1))")
@@ -149,7 +157,7 @@ def main(argv=None, config=None):
     cfg = config or Config()
     mcfg = cfg.model
     if args.fixed_heads or args.decode_proposals or args.mask_samples \
-            or args.roi_backend:
+            or args.roi_backend or args.dets:
         import dataclasses
 
         mcfg = dataclasses.replace(
@@ -157,6 +165,10 @@ def main(argv=None, config=None):
             decode_proposals=args.decode_proposals or mcfg.decode_proposals,
             mask_train_samples=args.mask_samples or mcfg.mask_train_samples,
             roi_backend=args.roi_backend or mcfg.roi_backend)
+        if args.dets:
+            mcfg = dataclasses.replace(
+                mcfg, infer_pre_topk=5 * args.dets,
+                infer_post_nms=args.dets, max_detections=args.dets)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")
