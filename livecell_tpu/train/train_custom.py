@@ -127,6 +127,13 @@ def main(argv=None, config=None):
                              "structurally bounds recall on dense tiles "
                              "(LIVECell tiles can exceed 100 cells); "
                              "0 keeps the reference caps")
+    parser.add_argument("--infer_nms", type=float, default=0.0,
+                        help="proposal NMS IoU (reference 0.4; dense "
+                             "tiles benefit from torchvision's 0.7 — "
+                             "the 0.4 default suppresses overlapping "
+                             "true neighbors)")
+    parser.add_argument("--det_nms", type=float, default=0.0,
+                        help="final detection NMS IoU (reference 0.5)")
     parser.add_argument("--lr_step_size", type=int, default=None,
                         help="decay LR by lr_gamma every N epochs "
                              "(default: the reference's StepLR(2, 0.1))")
@@ -169,6 +176,12 @@ def main(argv=None, config=None):
             mcfg = dataclasses.replace(
                 mcfg, infer_pre_topk=5 * args.dets,
                 infer_post_nms=args.dets, max_detections=args.dets)
+    if args.infer_nms or args.det_nms:
+        import dataclasses
+
+        mcfg = dataclasses.replace(
+            mcfg, infer_nms_thresh=args.infer_nms or mcfg.infer_nms_thresh,
+            det_nms_thresh=args.det_nms or mcfg.det_nms_thresh)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")
