@@ -25,7 +25,6 @@ grad_input only), and the model detaches proposals anyway.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
