@@ -31,6 +31,7 @@ cost_analysis() over-reports on this backend.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import os
@@ -194,8 +195,13 @@ def main():
                                 decode_proposals=True,
                                 mask_train_samples=64)
         fixed_img_per_sec, fixed_mfu, _ = measure_step(fixed_cfg, 16)
-    except Exception:
+        fixed_mode_error = None
+    except Exception as e:
+        # Surface a flagship-config regression instead of dropping it.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
         fixed_img_per_sec = fixed_mfu = None
+        fixed_mode_error = f"{type(e).__name__}: {e}"
 
     try:
         baseline = measure_torch_cpu_baseline()
@@ -222,6 +228,8 @@ def main():
         record["fixed_mode_img_per_sec"] = round(fixed_img_per_sec, 2)
         record["fixed_mode_mfu"] = fixed_mfu
         record["fixed_mode_batch_size"] = 16
+    elif fixed_mode_error is not None:
+        record["fixed_mode_error"] = fixed_mode_error
     print(json.dumps(record))
 
 

@@ -215,6 +215,42 @@ class ModelConfig:
         return self.feature_height * self.feature_width * self.num_anchors_per_cell
 
 
+def apply_dense_flags(mcfg: "ModelConfig", dets: int = 0,
+                      infer_nms: float = 0.0, det_nms: float = 0.0
+                      ) -> "ModelConfig":
+    """Lift the reference's structural detection caps for dense scenes.
+
+    The reference caps inference at 50 detections with NMS 0.4/0.5
+    (proposal_utils.py:33-59), which bounds recall on dense LIVECell
+    tiles (>100 cells). `dets=N` sets infer_post_nms = max_detections =
+    N and infer_pre_topk = 5N; `infer_nms`/`det_nms` override the IoU
+    thresholds. Zero values keep the reference behavior.
+    """
+    if dets:
+        mcfg = dataclasses.replace(
+            mcfg, infer_pre_topk=5 * dets, infer_post_nms=dets,
+            max_detections=dets)
+    if infer_nms or det_nms:
+        mcfg = dataclasses.replace(
+            mcfg, infer_nms_thresh=infer_nms or mcfg.infer_nms_thresh,
+            det_nms_thresh=det_nms or mcfg.det_nms_thresh)
+    return mcfg
+
+
+def add_dense_flags(parser) -> None:
+    """Attach the shared --dets/--infer_nms/--det_nms CLI flags."""
+    parser.add_argument("--dets", type=int, default=0,
+                        help="detection budget per tile (sets "
+                             "infer_post_nms = max_detections = N and "
+                             "infer_pre_topk = 5N; 0 keeps the "
+                             "reference's 50-detection cap)")
+    parser.add_argument("--infer_nms", type=float, default=0.0,
+                        help="proposal NMS IoU (reference 0.4; dense "
+                             "tiles benefit from 0.7)")
+    parser.add_argument("--det_nms", type=float, default=0.0,
+                        help="final detection NMS IoU (reference 0.5)")
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Optimization schedule (reference train_custom.py:212-219,297-302)."""

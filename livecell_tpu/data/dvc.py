@@ -82,6 +82,35 @@ def write_pointer(path: Path) -> Path:
     return out
 
 
+def main(argv=None) -> int:
+    """CLI: generate a pointer like `dvc add` without the dvc package.
+
+        python -m livecell_tpu.data.dvc --path data_split
+    writes data_split.dvc next to the tree (reference data_split.dvc).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Generate a DVC-compatible .dvc pointer")
+    parser.add_argument("--path", required=True,
+                        help="file or directory to version")
+    parser.add_argument("--out", default=None,
+                        help="pointer file to write "
+                             "(default: <path>.dvc beside the target)")
+    args = parser.parse_args(argv)
+
+    target = Path(args.path)
+    if not target.exists():
+        parser.error(f"no such path: {target}")
+    if args.out:
+        out = Path(args.out)
+        out.write_text(make_pointer(target))
+    else:
+        out = write_pointer(target)
+    print(f"wrote {out}")
+    return 0
+
+
 def write_dvc_config(repo_root: Path, remote_url: str,
                      remote_name: str = "storage") -> Path:
     """Write `.dvc/config` with a default remote (reference .dvc/config)."""
@@ -94,3 +123,7 @@ def write_dvc_config(repo_root: Path, remote_url: str,
         f"['remote \"{remote_name}\"']\n"
         f"    url = {remote_url}\n")
     return cfg
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -83,6 +83,11 @@ class CustomMaskRCNN(nn.Module):
             # tunneled chip); the CPU test mesh stays on einsum.
             platform = jax.devices()[0].platform
             backend = "pallas" if platform in ("tpu", "axon") else "einsum"
+        if backend == "pallas" and c.roi_precision != "default":
+            # The Pallas kernel interpolates in bf16; an explicit
+            # roi_precision (fp32 CUDA-kernel parity) needs the einsum
+            # path's `precision=` control.
+            backend = "einsum"
         if backend == "pallas":
             from livecell_tpu.ops.pallas_roi_align import roi_align_pallas
 

@@ -185,7 +185,15 @@ def load_torchvision_weights(variables: Dict, path: str,
 
     unconsumed = []
     for key, tensor in sd.items():
-        spec = _translate(key)
+        try:
+            spec = _translate(key)
+        except KeyError:
+            # A slightly different torchvision version may carry extra or
+            # renamed keys; only strict mode treats that as fatal.
+            if strict:
+                raise
+            unconsumed.append((key, "unrecognized key"))
+            continue
         if spec is None:
             continue
         col, ours, conv = spec

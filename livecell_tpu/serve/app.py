@@ -32,20 +32,26 @@ DEFAULT_MODEL_PATH = "models/custom_maskrcnn_5epochs.ckpt"
 class InferenceEngine:
     """Cached model + jitted predictors."""
 
-    def __init__(self, model_path: str, model_type: str = "custom"):
+    def __init__(self, model_path: str, model_type: str = "custom",
+                 dets: int = 0, infer_nms: float = 0.0,
+                 det_nms: float = 0.0):
         import jax
 
-        from livecell_tpu.config import Config
+        from livecell_tpu.config import Config, apply_dense_flags
         from livecell_tpu.serve.stitch import make_frame_predictor
         from livecell_tpu.serve.visualize import load_model
 
         self.cfg = Config()
-        self.model, self.variables = load_model(model_path, model_type)
+        mcfg = apply_dense_flags(self.cfg.model, dets, infer_nms, det_nms)
+        self.cfg = self.cfg.replace(model=mcfg)
+        self.model, self.variables = load_model(model_path, model_type,
+                                                mcfg=mcfg)
         self.model_path = model_path
         # score_threshold 0 here: the per-request slider filters later.
         self._frame_predict = make_frame_predictor(
             self.model, self.variables, self.cfg.tile,
-            score_threshold=0.0, mask_threshold=0.4)
+            score_threshold=0.0, mask_threshold=0.4,
+            max_frame_dets=max(256, 4 * dets))
 
         import jax.numpy as jnp
 
@@ -144,6 +150,9 @@ def render_overlay(image: np.ndarray, boxes, scores, masks) -> np.ndarray:
 
 
 _ENGINE: Optional[InferenceEngine] = None
+# Dense-scene overrides from the CLI (--dets/--infer_nms/--det_nms),
+# applied when the engine is (re)built.
+_DENSE = {"dets": 0, "infer_nms": 0.0, "det_nms": 0.0}
 
 
 def predict_single_image(image: np.ndarray, model_path: str,
@@ -155,7 +164,7 @@ def predict_single_image(image: np.ndarray, model_path: str,
         return image, f"Error: Model not found at {model_path}"
     try:
         if _ENGINE is None or _ENGINE.model_path != model_path:
-            _ENGINE = InferenceEngine(model_path)
+            _ENGINE = InferenceEngine(model_path, **_DENSE)
     except Exception as e:
         return image, f"Error loading model: {e}"
     boxes, scores, masks = _ENGINE.predict(image, score_threshold)
@@ -268,11 +277,16 @@ def launch_http(model_path: str, port: int):
 
 
 def main(argv=None):
+    from livecell_tpu.config import add_dense_flags
+
     parser = argparse.ArgumentParser(description="LiveCell inference GUI")
     parser.add_argument("--model_path", type=str,
                         default=DEFAULT_MODEL_PATH)
     parser.add_argument("--port", type=int, default=7860)
+    add_dense_flags(parser)
     args = parser.parse_args(argv)
+    _DENSE.update(dets=args.dets, infer_nms=args.infer_nms,
+                  det_nms=args.det_nms)
 
     try:
         import gradio  # noqa: F401

@@ -137,8 +137,9 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
             [regions, np.zeros((n_pad_tiles - n_real, th, tw),
                                np.float32)])
     tw_pad = ((tw + 7) // 8) * 8
+    # Flat candidate pool is [T, max_detections] (the det slot count).
     max_frame_dets = min(max_frame_dets,
-                         n_pad_tiles * mcfg.infer_post_nms)
+                         n_pad_tiles * mcfg.max_detections)
 
     @jax.jit
     def predict(tiles_u8):
@@ -199,7 +200,10 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
             np.asarray, predict(tiles_dev))
         v = np.array(sel_valid)
         masks = np.unpackbits(packed[v], axis=-1)[:, :, :tw].astype(bool)
-        t_ids = idx[v] // mcfg.infer_post_nms
+        # idx is flat over [T, D] where D is the detection slot count
+        # (max_detections), which can differ from infer_post_nms when
+        # dense-scene flags lift the caps asymmetrically.
+        t_ids = idx[v] // mcfg.max_detections
         sel_off = offs[np.minimum(t_ids, len(offs) - 1)]
         global_boxes = boxes[v] + np.concatenate([sel_off, sel_off],
                                                  axis=1)

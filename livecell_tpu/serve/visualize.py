@@ -21,20 +21,26 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from livecell_tpu.config import Config
+from livecell_tpu.config import Config, add_dense_flags, apply_dense_flags
 from livecell_tpu.serve.stitch import (
     StitchedDetections, group_tiles_by_image, load_tiles,
     make_frame_predictor, reconstruct_full_image)
 
 
 def load_model(model_path: str, model_type: str = "custom",
-               num_classes: int = 2):
-    """Load a trained model + variables (reference visualize.py:27-69)."""
+               num_classes: int = 2, mcfg=None):
+    """Load a trained model + variables (reference visualize.py:27-69).
+
+    `mcfg` overrides the ModelConfig (e.g. lifted detection caps from
+    apply_dense_flags); default keeps the reference inference caps.
+    """
     import jax
 
     from livecell_tpu.train import checkpoint
 
     cfg = Config()
+    if mcfg is not None:
+        cfg = cfg.replace(model=mcfg)
     print(f"Loading {model_type} model from {model_path}...")
     if model_type == "custom":
         from livecell_tpu.models.mask_rcnn import create_model
@@ -199,11 +205,15 @@ def main(argv=None):
     parser.add_argument("--output_dir", type=str, default="outputs")
     parser.add_argument("--score_threshold", type=float, default=0.5)
     parser.add_argument("--mask_threshold", type=float, default=0.4)
+    add_dense_flags(parser)
     args = parser.parse_args(argv)
 
     from PIL import Image
 
     cfg = Config()
+    mcfg = apply_dense_flags(cfg.model, args.dets, args.infer_nms,
+                             args.det_nms)
+    cfg = cfg.replace(model=mcfg)
     tile_cfg = cfg.tile
 
     # Index raw-frame annotations across all splits
@@ -230,7 +240,7 @@ def main(argv=None):
             (args.model1_path, args.model1_type, args.model1_name),
             (args.model2_path, args.model2_type, args.model2_name)]:
         if path:
-            model, variables = load_model(path, mtype)
+            model, variables = load_model(path, mtype, mcfg=mcfg)
             predictors.append(make_frame_predictor(
                 model, variables, tile_cfg, args.score_threshold,
                 args.mask_threshold))

@@ -172,16 +172,9 @@ def main(argv=None, config=None):
             decode_proposals=args.decode_proposals or mcfg.decode_proposals,
             mask_train_samples=args.mask_samples or mcfg.mask_train_samples,
             roi_backend=args.roi_backend or mcfg.roi_backend)
-        if args.dets:
-            mcfg = dataclasses.replace(
-                mcfg, infer_pre_topk=5 * args.dets,
-                infer_post_nms=args.dets, max_detections=args.dets)
-    if args.infer_nms or args.det_nms:
-        import dataclasses
+    from livecell_tpu.config import apply_dense_flags
 
-        mcfg = dataclasses.replace(
-            mcfg, infer_nms_thresh=args.infer_nms or mcfg.infer_nms_thresh,
-            det_nms_thresh=args.det_nms or mcfg.det_nms_thresh)
+    mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")

@@ -66,6 +66,11 @@ def _count(jaxpr) -> float:
         elif name == "cond":
             total += max((_count(b.jaxpr)
                           for b in eqn.params["branches"]), default=0.0)
+        elif name == "pallas_call":
+            # The kernel body runs once per grid cell.
+            grid = eqn.params["grid_mapping"].grid
+            inner = eqn.params["jaxpr"]
+            total += math.prod(grid) * _count(getattr(inner, "jaxpr", inner))
         else:
             for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 inner = eqn.params.get(key)

@@ -1,0 +1,111 @@
+"""Multi-process (DCN-analog) input path validation.
+
+Spawns two real JAX processes (4 virtual CPU devices each, gloo
+collectives) that jointly drive data/multihost.py's ShardedLoader
+through one mesh train step, and asserts loss parity with the same
+step run single-process — validating the process-to-device contiguity
+assumption in `process_batch_slice` with `jax.process_count() == 2`
+instead of the degenerate single-process case.
+"""
+
+import dataclasses
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from livecell_tpu.data.dataset import PackedDataset
+from livecell_tpu.data.tiling import LIVECellPreprocessor
+from tests.test_model import TINY
+from tests.util_fakedata import make_fake_livecell
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def split_dir(tmp_path_factory):
+    src = make_fake_livecell(tmp_path_factory.mktemp("src"),
+                             images_per_split=(2, 1, 1))
+    out = tmp_path_factory.mktemp("split")
+    LIVECellPreprocessor(str(src), str(out), total_images=8).preprocess()
+    # Build the npz cache up front so the two workers don't race on it.
+    cfg = dataclasses.replace(TINY, max_instances=32)
+    PackedDataset(str(out), "train", cfg)
+    return str(out), cfg
+
+
+def _single_process_metrics(split: str, cfg):
+    """Reference: the identical loader + step on the in-process
+    8-device mesh (process_count == 1)."""
+    from livecell_tpu.data.multihost import ShardedLoader
+    from livecell_tpu.models.mask_rcnn import create_model
+    from livecell_tpu.parallel.mesh import make_mesh
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_train_step)
+
+    packed = PackedDataset(split, "train", cfg)
+    mesh = make_mesh(8, model_parallel=1)
+    loader = ShardedLoader(packed, mesh, global_batch=8, shuffle=True,
+                           seed=3)
+    images, targets = next(iter(loader.epoch(0)))
+    model, variables = create_model(cfg, jax.random.key(0))
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, variables, tx, mesh=mesh)
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    _, metrics = step(state, images, targets, jax.random.key(1))
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def test_two_process_loader_matches_single(split_dir, tmp_path):
+    split, cfg = split_dir
+    port = _free_port()
+    outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "multihost_worker.py"),
+             "--process_id", str(i), "--num_processes", "2",
+             "--port", str(port), "--data_dir", split, "--out", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    records = [json.load(open(o)) for o in outs]
+    # Each process loaded its own contiguous quarter-rows.
+    assert records[0]["slice"] == [0, 4]
+    assert records[1]["slice"] == [4, 4]
+    # Replicated metrics agree across processes (same global program).
+    assert records[0]["total_loss"] == pytest.approx(
+        records[1]["total_loss"], rel=1e-6)
+
+    want = _single_process_metrics(split, cfg)
+    # Same tolerance family as the sharded-vs-single equivalence tests:
+    # cross-process reduction order adds BN-amplified noise.
+    for k in ("total_loss", "loss_rpn_cls", "grad_norm"):
+        assert records[0][k] == pytest.approx(want[k], rel=2e-2, abs=2e-3), k
+    assert np.isfinite(records[0]["total_loss"])
