@@ -162,6 +162,20 @@ class ModelConfig:
     # (pallas on TPU hardware, einsum elsewhere).
     roi_backend: str = "auto"
 
+    # Anchor-GT matcher backend for the RPN losses: "xla" (IoU matrix +
+    # argmax reductions, matched boxes via one-hot einsum), "pallas"
+    # (fused VMEM kernel, IoU matrix never hits HBM; see
+    # ops/pallas_match.py), or "auto" (pallas on TPU, xla elsewhere).
+    match_backend: str = "auto"
+
+    # Top-k backend for TRAINING-time selection (proposal pre-top-k and
+    # the RPN balanced-sampling thresholds): "exact" (lax.top_k = full
+    # sort on TPU), "approx" (single-pass ApproxTopK HLO, recall ~0.95
+    # over iid-uniform sampling priorities / objectness — statistically
+    # equivalent sampling), or "auto" (approx on TPU hardware, exact
+    # elsewhere). Inference always uses exact top-k. See ops/topk.py.
+    topk_backend: str = "auto"
+
     # Quirk-fix switches. The reference trains the box/mask heads on
     # batch element 0 only and supervises RPN objectness of image 0
     # against batch-concatenated GT (SURVEY.md §3.1). Defaults preserve

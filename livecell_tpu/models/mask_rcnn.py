@@ -71,6 +71,21 @@ class CustomMaskRCNN(nn.Module):
             (c.feature_height, c.feature_width), c.anchor_stride,
             c.anchor_sizes, c.anchor_ratios))
 
+    def _match_anchors(self, anchors, gt_boxes, gt_valid, full=True):
+        """Anchor-GT matching via the configured backend. The pallas
+        kernel (ops/pallas_match.py) streams IoU tiles through VMEM;
+        the xla path materializes the [B,N,I] matrix."""
+        backend = self.cfg.match_backend
+        if backend == "auto":
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform in ("tpu", "axon") else "xla"
+        if backend == "pallas":
+            from livecell_tpu.ops.pallas_match import match_anchors_pallas
+            return match_anchors_pallas(anchors, gt_boxes, gt_valid,
+                                        full=full)
+        from livecell_tpu.ops.pallas_match import match_anchors_xla
+        return match_anchors_xla(anchors, gt_boxes, gt_valid, full=full)
+
     def _roi_align(self, feats: jnp.ndarray, boxes: jnp.ndarray
                    ) -> jnp.ndarray:
         """Batched RoIAlign [B,H,W,C],[B,K,4] -> [B,K,s,s,C] via the
@@ -120,21 +135,26 @@ class CustomMaskRCNN(nn.Module):
             # Reference semantics: RPN loss on image-0 scores vs
             # batch-concatenated GT; heads train on image 0 only
             # (custom_maskrcnn.py:108-111, SURVEY.md §3.1).
-            loss_rpn = detector.rpn_loss(
-                cls_scores[0].astype(jnp.float32), anchors,
-                targets["boxes"], targets["valid"], k_rpn, c)
+            gt_flat = targets["boxes"].reshape(1, -1, 4)
+            v_flat = targets["valid"].reshape(1, -1)
+            max_iou0 = self._match_anchors(anchors, gt_flat, v_flat,
+                                           full=False)[0]
+            loss_rpn = detector.rpn_loss_single(
+                cls_scores[0][0].reshape(-1).astype(jnp.float32), anchors,
+                gt_flat[0], v_flat[0], k_rpn, c, max_iou=max_iou0)
 
             obj0 = cls_scores[0][0].reshape(-1).astype(jnp.float32)
             # Proposals are detached (torchvision RPN semantics): the
             # RPN trains only through its own losses, not through the
-            # head losses' dependence on proposal geometry.
-            src_boxes = jax.lax.stop_gradient(
-                decode_boxes(rpn_dlt[0], anchors)) \
-                if c.decode_proposals else anchors
+            # head losses' dependence on proposal geometry; decode (if
+            # enabled) runs after the top-k inside training_proposals.
+            from livecell_tpu.ops.topk import resolve_topk_approx
             props = training_proposals(
-                obj0, src_boxes, img_size, k_prop, c.train_pre_topk,
+                obj0, anchors, img_size, k_prop, c.train_pre_topk,
                 c.train_score_thresh, c.train_min_box_size,
-                c.train_num_samples)
+                c.train_num_samples,
+                deltas=rpn_dlt[0] if c.decode_proposals else None,
+                approx_topk=resolve_topk_approx(c.topk_backend))
 
             feat0 = feats[0][0].astype(jnp.float32)
             rois = self._roi_align(feat0[None], props.boxes[None])[0]
@@ -160,8 +180,10 @@ class CustomMaskRCNN(nn.Module):
             losses["loss_mask"] = detector.mask_loss(mask_logits, t)
             losses["loss_rpn_cls"] = loss_rpn
             if c.decode_proposals:
-                losses["loss_rpn_reg"] = detector.rpn_reg_loss(
-                    rpn_dlt[0], anchors, targets["boxes"][0],
+                mx0, tgt0, best0 = self._match_anchors(
+                    anchors, targets["boxes"][:1], targets["valid"][:1])
+                losses["loss_rpn_reg"] = detector.rpn_reg_loss_from_match(
+                    rpn_dlt[0], mx0[0], tgt0[0], best0[0],
                     targets["valid"][0], c)
             return losses
 
@@ -175,29 +197,38 @@ class CustomMaskRCNN(nn.Module):
         m = c.mask_train_samples
         use_subset = 0 < m < c.train_num_samples
 
-        def per_image(obj_i, dlt_i, feat_i, boxes_i, valid_i, mask28_i,
-                      kp, kr):
-            # One anchor-GT IoU matrix shared by the objectness and
-            # delta losses (it was computed twice, ~2 ms/step at bs=16).
-            from livecell_tpu.ops.boxes import box_iou
-            ious = jnp.where(valid_i[None, :],
-                             box_iou(anchors, boxes_i), -1.0)
+        # Anchor-GT matching for the whole batch in one fused call (the
+        # per-image IoU matrix + argmaxes + matched-box gather were
+        # ~6.5 ms of a 29 ms step on the r3 trace).
+        if c.decode_proposals:
+            match = self._match_anchors(
+                anchors, targets["boxes"], targets["valid"])
+        else:
+            match = (self._match_anchors(
+                anchors, targets["boxes"], targets["valid"], full=False),
+                None, None)
+        max_iou_b, tgt_b, best_b = match
+
+        def per_image(obj_i, dlt_i, boxes_i, valid_i, mask28_i,
+                      kp, kr, mx_i, extra):
             loss_rpn = detector.rpn_loss_single(
-                obj_i, anchors, boxes_i, valid_i, kr, c,
-                max_iou=ious.max(axis=1))
+                obj_i, anchors, boxes_i, valid_i, kr, c, max_iou=mx_i)
             if c.decode_proposals:
-                # Detached, as in the quirk branch above.
-                src_boxes = jax.lax.stop_gradient(
-                    decode_boxes(dlt_i, anchors))
-                loss_rpn_reg = detector.rpn_reg_loss(
-                    dlt_i, anchors, boxes_i, valid_i, c, ious=ious)
+                tgt_i, best_i = extra
+                loss_rpn_reg = detector.rpn_reg_loss_from_match(
+                    dlt_i, mx_i, tgt_i, best_i, valid_i, c)
+                # Deltas decoded inside training_proposals AFTER the
+                # top-k (76x less decode/clip work), detached there.
+                dec = dlt_i
             else:
-                src_boxes = anchors
+                dec = None
                 loss_rpn_reg = jnp.zeros(())
+            from livecell_tpu.ops.topk import resolve_topk_approx
             props = training_proposals(
-                obj_i, src_boxes, img_size, kp, c.train_pre_topk,
+                obj_i, anchors, img_size, kp, c.train_pre_topk,
                 c.train_score_thresh, c.train_min_box_size,
-                c.train_num_samples)
+                c.train_num_samples, deltas=dec,
+                approx_topk=resolve_topk_approx(c.topk_backend))
             t = detector.match_head_targets(
                 props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
             if use_subset:
@@ -211,9 +242,10 @@ class CustomMaskRCNN(nn.Module):
                 msel = None
             return props.boxes, t, msel, loss_rpn, loss_rpn_reg
 
+        extra_b = (tgt_b, best_b) if c.decode_proposals else None
         prop_boxes, t, msel, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
-            obj, rpn_dlt, feat0, targets["boxes"], targets["valid"],
-            targets["mask28"], keys, rpn_keys)
+            obj, rpn_dlt, targets["boxes"], targets["valid"],
+            targets["mask28"], keys, rpn_keys, max_iou_b, extra_b)
 
         # RoIAlign batched over the whole batch (outside the vmap so the
         # Pallas backend sees one [B, K, 4] call).
@@ -263,12 +295,11 @@ class CustomMaskRCNN(nn.Module):
         rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
 
         def per_image(obj_i, dlt_i):
-            src_boxes = decode_boxes(dlt_i, anchors) \
-                if c.decode_proposals else anchors
             return inference_proposals(
-                obj_i, src_boxes, img_size, c.infer_pre_topk,
+                obj_i, anchors, img_size, c.infer_pre_topk,
                 c.infer_score_thresh, c.infer_nms_thresh, c.infer_post_nms,
-                c.infer_min_box_size, nms_fn=nms_fn)
+                c.infer_min_box_size, nms_fn=nms_fn,
+                deltas=dlt_i if c.decode_proposals else None)
 
         props = jax.vmap(per_image)(obj, rpn_dlt)
         rois = self._roi_align(feat0, props.boxes)

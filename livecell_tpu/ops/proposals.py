@@ -55,6 +55,8 @@ def training_proposals(
     score_thresh: float = 0.01,
     min_size: float = 5.0,
     num_samples: int = 128,
+    deltas: jnp.ndarray | None = None,
+    approx_topk: bool = False,
 ) -> Proposals:
     """Training-time proposals (reference proposal_utils.py:12-31 + the
     sample_proposals call at custom_maskrcnn.py:117).
@@ -62,10 +64,20 @@ def training_proposals(
     Args:
       objectness: [A] RPN logits flattened in (y, x, anchor) order.
       anchors: [A,4].
+      deltas: optional [A,4] RPN deltas; when given, proposals are the
+        decoded anchors (decode_proposals mode). Decoding happens AFTER
+        the top-k — identical result (selection depends only on scores,
+        decode is per-anchor) but 76x less decode/clip work than
+        decoding all A anchors.
     """
+    from livecell_tpu.ops.topk import top_k
     scores = jax.nn.sigmoid(objectness)
-    top_scores, top_idx = jax.lax.top_k(scores, pre_topk)
+    top_scores, top_idx = top_k(scores, pre_topk, approx=approx_topk)
     boxes = anchors[top_idx]
+    if deltas is not None:
+        from livecell_tpu.ops.boxes import decode_boxes
+        boxes = jax.lax.stop_gradient(
+            decode_boxes(deltas[top_idx], boxes))
     valid = top_scores > score_thresh
     boxes = clip_boxes(boxes, image_size)
     valid &= small_box_mask(boxes, min_size)
@@ -84,13 +96,18 @@ def inference_proposals(
     post_nms: int = 50,
     min_size: float = 10.0,
     nms_fn=nms_fixed,
+    deltas: jnp.ndarray | None = None,
 ) -> Proposals:
     """Inference-time proposals (reference proposal_utils.py:33-59):
     topk -> score>thresh -> clip -> min-size -> greedy NMS -> top post_nms.
+    Decode-after-topk as in training_proposals when `deltas` is given.
     """
     scores = jax.nn.sigmoid(objectness)
     top_scores, top_idx = jax.lax.top_k(scores, pre_topk)
     boxes = anchors[top_idx]
+    if deltas is not None:
+        from livecell_tpu.ops.boxes import decode_boxes
+        boxes = decode_boxes(deltas[top_idx], boxes)
     valid = top_scores > score_thresh
     boxes = clip_boxes(boxes, image_size)
     valid &= small_box_mask(boxes, min_size)

@@ -119,6 +119,14 @@ def main(argv=None, config=None):
                         choices=["auto", "einsum", "pallas"],
                         help="RoIAlign backend (pallas = fused VMEM "
                              "kernel, TPU only; ~13%% faster step)")
+    parser.add_argument("--match_backend", type=str, default=None,
+                        choices=["auto", "xla", "pallas"],
+                        help="anchor-GT matcher backend (pallas = fused "
+                             "VMEM kernel, ops/pallas_match.py)")
+    parser.add_argument("--topk_backend", type=str, default=None,
+                        choices=["auto", "exact", "approx"],
+                        help="training-time top-k (approx = single-pass "
+                             "ApproxTopK HLO on TPU; ops/topk.py)")
     parser.add_argument("--dets", type=int, default=0,
                         help="detection budget per tile (sets "
                              "infer_post_nms = max_detections = N and "
@@ -164,14 +172,17 @@ def main(argv=None, config=None):
     cfg = config or Config()
     mcfg = cfg.model
     if args.fixed_heads or args.decode_proposals or args.mask_samples \
-            or args.roi_backend or args.dets:
+            or args.roi_backend or args.dets or args.match_backend \
+            or args.topk_backend:
         import dataclasses
 
         mcfg = dataclasses.replace(
             mcfg, heads_all_images=args.fixed_heads or mcfg.heads_all_images,
             decode_proposals=args.decode_proposals or mcfg.decode_proposals,
             mask_train_samples=args.mask_samples or mcfg.mask_train_samples,
-            roi_backend=args.roi_backend or mcfg.roi_backend)
+            roi_backend=args.roi_backend or mcfg.roi_backend,
+            match_backend=args.match_backend or mcfg.match_backend,
+            topk_backend=args.topk_backend or mcfg.topk_backend)
     from livecell_tpu.config import apply_dense_flags
 
     mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)

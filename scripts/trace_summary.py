@@ -47,16 +47,35 @@ def main():
 
     by_kind = collections.Counter()
     by_name = collections.Counter()
+    by_source = collections.Counter()
+    by_tfop = collections.Counter()
+    name_meta = {}
     for e in ops:
         by_name[e["name"]] += e["dur"]
         by_kind[re.sub(r"[.\d]+$", "", e["name"].split(".")[0])] += e["dur"]
+        a = e.get("args", {})
+        by_source[a.get("source", "?")] += e["dur"]
+        # Last meaningful component of the jax op path, e.g.
+        # "jit(step)/.../vmap()/gather:" -> the hlo-level jax op.
+        tf = a.get("tf_op", "").rstrip(":").split("/")
+        by_tfop["/".join(tf[-2:])] += e["dur"]
+        name_meta.setdefault(e["name"], (a.get("source", "?"),
+                                         a.get("tf_op", "")[-70:]))
 
     print("== by op kind ==")
     for k, v in by_kind.most_common(args.top):
         print(f"{v / n / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  {k}")
+    print("\n== by source line ==")
+    for k, v in by_source.most_common(args.top):
+        print(f"{v / n / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  {k}")
+    print("\n== by jax op ==")
+    for k, v in by_tfop.most_common(args.top):
+        print(f"{v / n / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  {k[:80]}")
     print("\n== top individual ops ==")
     for k, v in by_name.most_common(args.top):
-        print(f"{v / n / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  {k[:90]}")
+        src, tf = name_meta.get(k, ("?", ""))
+        print(f"{v / n / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  "
+              f"{k[:40]:40s} {src.replace('/root/repo/', '')}")
 
 
 if __name__ == "__main__":
