@@ -163,16 +163,16 @@ def rpn_reg_loss(
     # the one-hot contraction rides the MXU.
     onehot = jax.nn.one_hot(matched, gt_boxes.shape[0],
                             dtype=gt_boxes.dtype)
-    targets = encode_boxes(onehot @ gt_boxes, anchors)
+    targets = encode_boxes(onehot @ gt_boxes, anchors).T   # [4, N] planar
     best = ious.argmax(axis=0) if cfg.rpn_force_best_anchor else None
     return rpn_reg_loss_from_match(deltas, max_iou, targets,
                                    best, gt_valid, cfg)
 
 
 def rpn_reg_loss_from_match(
-    deltas: jnp.ndarray,           # [N, 4] RPN box deltas
+    deltas: jnp.ndarray,           # [N*4] or [N,4] RPN box deltas
     max_iou: jnp.ndarray,          # [N] per-anchor max IoU (-1 masked)
-    reg_targets: jnp.ndarray,      # [N, 4] encode(gt[argmax], anchors)
+    reg_targets: jnp.ndarray,      # [4, N] PLANAR encode(gt[argmax], ...)
     best_anchor: jnp.ndarray | None,  # [M] per-GT argmax anchor
     gt_valid: jnp.ndarray,         # [M]
     cfg: ModelConfig,
@@ -181,9 +181,10 @@ def rpn_reg_loss_from_match(
     matcher, ops/pallas_match.py, produces these without materializing
     the [N, M] IoU matrix or the matched boxes in HBM).
 
-    The smooth-L1 runs on flat [N*4] views: elementwise math on a
-    [N, 4] array uses 4/128 VPU lanes (the minor dim maps to lanes);
-    the reshape is a free bitcast and restores full-lane throughput."""
+    The smooth-L1 runs on PLANAR [4, N] arrays: any [N, 4]-shaped
+    tensor pads its minor dim 4 -> 128 lanes on TPU, so elementwise
+    chains and relayout copies on that shape cost ~2 ms/step (r3
+    traces). One transpose of the deltas is paid instead."""
     pos = max_iou >= cfg.rpn_pos_iou
     if cfg.rpn_force_best_anchor:
         # Every (valid) GT supervises its single best anchor even below
@@ -194,10 +195,9 @@ def rpn_reg_loss_from_match(
         pos = pos | (forced > 0)
     pos = pos.astype(jnp.float32)
 
-    diff = (deltas.astype(jnp.float32) - reg_targets).reshape(-1)
-    sl = smooth_l1(diff, 0.0)
-    w = jnp.broadcast_to(pos[:, None], pos.shape + (4,)).reshape(-1)
-    loss = (sl * w).sum() / (4.0 * jnp.maximum(pos.sum(), 1.0))
+    d4 = deltas.reshape(-1, 4).T.astype(jnp.float32)     # [4, N] planar
+    reg = smooth_l1(d4 - reg_targets, 0.0).sum(axis=0)   # [N]
+    loss = (reg * pos).sum() / (4.0 * jnp.maximum(pos.sum(), 1.0))
     return jnp.where(gt_valid.any(), loss, 0.0)
 
 

@@ -106,12 +106,17 @@ class CustomMaskRCNN(nn.Module):
         if backend == "pallas":
             from livecell_tpu.ops.pallas_roi_align import roi_align_pallas
 
+            # The kernel interpolates in bf16 regardless; feeding bf16
+            # halves its HBM input/output traffic and avoids an f32
+            # cast of the whole feature map (~0.9 ms/step on the r3
+            # trace). The heads consume the ROIs in bf16 anyway.
             return roi_align_pallas(
-                feats, boxes, c.roi_output_size, c.roi_spatial_scale,
-                c.roi_sampling_ratio)
+                feats.astype(jnp.bfloat16), boxes, c.roi_output_size,
+                c.roi_spatial_scale, c.roi_sampling_ratio)
         return jax.vmap(lambda f, b: roi_align(
-            f, b, c.roi_output_size, c.roi_spatial_scale,
-            c.roi_sampling_ratio, precision=c.roi_precision))(feats, boxes)
+            f.astype(jnp.float32), b, c.roi_output_size,
+            c.roi_spatial_scale, c.roi_sampling_ratio,
+            precision=c.roi_precision))(feats, boxes)
 
     # ------------------------------------------------------------------
     # Training (reference forward_train, custom_maskrcnn.py:85-142).
@@ -128,8 +133,15 @@ class CustomMaskRCNN(nn.Module):
         rng = self.make_rng("sampling")
         k_rpn, k_prop = jax.random.split(rng)
         b = images.shape[0]
-        # [B, N, 4] RPN deltas in anchor order (NHWC [H,W,4A] -> [HWA,4]).
-        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
+        # Two views of the RPN deltas, neither in f32 [B,N,4]: casting
+        # + relaying the full delta tensor into a minor-dim-4 f32 array
+        # cost ~2 ms/step (fwd convert + bwd relayout on the r3 trace).
+        #   rpn_dlt  [B, N, 4] bf16 — row gathers in the proposal path
+        #   rpn_nat  [B, N*4]  bf16 — free bitcast of the conv's NHWC
+        #            layout, (y,x,a,c) order == [N,4] flattened; the reg
+        #            loss consumes flat views (detector.py).
+        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4)
+        rpn_nat = bbox_deltas[0].reshape(b, -1)
 
         if not c.heads_all_images:
             # Reference semantics: RPN loss on image-0 scores vs
@@ -156,7 +168,7 @@ class CustomMaskRCNN(nn.Module):
                 deltas=rpn_dlt[0] if c.decode_proposals else None,
                 approx_topk=resolve_topk_approx(c.topk_backend))
 
-            feat0 = feats[0][0].astype(jnp.float32)
+            feat0 = feats[0][0]  # dtype handled per-backend in _roi_align
             rois = self._roi_align(feat0[None], props.boxes[None])[0]
             cls_logits, box_deltas = self.box_head(rois)
             mask_logits = self.mask_head(rois)
@@ -183,14 +195,14 @@ class CustomMaskRCNN(nn.Module):
                 mx0, tgt0, best0 = self._match_anchors(
                     anchors, targets["boxes"][:1], targets["valid"][:1])
                 losses["loss_rpn_reg"] = detector.rpn_reg_loss_from_match(
-                    rpn_dlt[0], mx0[0], tgt0[0], best0[0],
+                    rpn_nat[0], mx0[0], tgt0[0], best0[0],
                     targets["valid"][0], c)
             return losses
 
         # Fixed mode: every image supervises the RPN (per-image matching)
         # and feeds the heads; head GEMMs batch over B*K ROIs on the MXU.
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
-        feat0 = feats[0].astype(jnp.float32)
+        feat0 = feats[0]  # dtype handled per-backend in _roi_align
         keys = jax.random.split(k_prop, b)
         rpn_keys = jax.random.split(k_rpn, b)
 
@@ -209,14 +221,14 @@ class CustomMaskRCNN(nn.Module):
                 None, None)
         max_iou_b, tgt_b, best_b = match
 
-        def per_image(obj_i, dlt_i, boxes_i, valid_i, mask28_i,
+        def per_image(obj_i, dlt_i, nat_i, boxes_i, valid_i, mask28_i,
                       kp, kr, mx_i, extra):
             loss_rpn = detector.rpn_loss_single(
                 obj_i, anchors, boxes_i, valid_i, kr, c, max_iou=mx_i)
             if c.decode_proposals:
                 tgt_i, best_i = extra
                 loss_rpn_reg = detector.rpn_reg_loss_from_match(
-                    dlt_i, mx_i, tgt_i, best_i, valid_i, c)
+                    nat_i, mx_i, tgt_i, best_i, valid_i, c)
                 # Deltas decoded inside training_proposals AFTER the
                 # top-k (76x less decode/clip work), detached there.
                 dec = dlt_i
@@ -244,7 +256,7 @@ class CustomMaskRCNN(nn.Module):
 
         extra_b = (tgt_b, best_b) if c.decode_proposals else None
         prop_boxes, t, msel, loss_rpn, loss_rpn_reg = jax.vmap(per_image)(
-            obj, rpn_dlt, targets["boxes"], targets["valid"],
+            obj, rpn_dlt, rpn_nat, targets["boxes"], targets["valid"],
             targets["mask28"], keys, rpn_keys, max_iou_b, extra_b)
 
         # RoIAlign batched over the whole batch (outside the vmap so the
@@ -283,7 +295,7 @@ class CustomMaskRCNN(nn.Module):
         cls_scores, bbox_deltas = self.rpn(feats)
         anchors = self._anchors()
         img_size = (c.image_height, c.image_width)
-        feat0 = feats[0].astype(jnp.float32)
+        feat0 = feats[0]  # dtype handled per-backend in _roi_align
         b = images.shape[0]
 
         if c.nms_backend == "pallas":
@@ -292,7 +304,7 @@ class CustomMaskRCNN(nn.Module):
             nms_fn = nms_fixed
 
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
-        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4).astype(jnp.float32)
+        rpn_dlt = bbox_deltas[0].reshape(b, -1, 4)  # bf16; decode casts
 
         def per_image(obj_i, dlt_i):
             return inference_proposals(

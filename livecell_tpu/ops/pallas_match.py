@@ -91,11 +91,9 @@ def _kernel(an_ref, gt_ref, mx_ref, *rest, tn: int, full: bool):
     bh = jnp.clip(mg[3:4] - mg[1:2], 1.0)
     bcx = (mg[0:1] + mg[2:3]) * 0.5
     bcy = (mg[1:2] + mg[3:4]) * 0.5
-    tgt = jnp.concatenate([
+    tgt_ref[0] = jnp.concatenate([
         (bcx - acx) / aw, (bcy - acy) / ah,
-        jnp.log(bw / aw), jnp.log(bh / ah),
-        jnp.zeros((4, tn), jnp.float32)], axis=0)            # [8, TN]
-    tgt_ref[0] = tgt.T                                       # [TN, 8]
+        jnp.log(bw / aw), jnp.log(bh / ah)], axis=0)         # [4, TN]
 
     # Per-GT best anchor, accumulated across anchor tiles in VMEM
     # scratch (strict > keeps the first tile among ties; in-tile
@@ -137,8 +135,8 @@ def match_anchors_pallas(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
 
     anchors [N,4] f32, gt_boxes [B,I,4] f32, gt_valid [B,I] bool ->
       max_iou     [B, N] f32  (invalid GT masked to -1)
-      reg_targets [B, N, 4] f32 = encode(gt_boxes[argmax], anchors)
-                  (full=True)
+      reg_targets [B, 4, N] f32 = encode(gt_boxes[argmax], anchors),
+                  PLANAR coord rows (full=True)
       best_anchor [B, I] i32 = argmax over anchors  (full=True)
     """
     n = anchors.shape[0]
@@ -158,12 +156,17 @@ def match_anchors_pallas(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     ip = gt_p.shape[1]
 
     out_shapes = [jax.ShapeDtypeStruct((b, 8, np_), jnp.float32),
-                  jax.ShapeDtypeStruct((b, np_, 8), jnp.float32),
+                  jax.ShapeDtypeStruct((b, 4, np_), jnp.float32),
                   jax.ShapeDtypeStruct((b, ip, 8), jnp.int32)]
     out_specs = [
         pl.BlockSpec((1, 8, tn), lambda bi_, ti: (bi_, 0, ti),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tn, 8), lambda bi_, ti: (bi_, ti, 0),
+        # Targets PLANAR [B, 4, N] — coords as lane-wide rows, the
+        # kernel's native orientation. Any [N, 4]-shaped HBM tensor
+        # pads its 4-lane minor dim to 128 on TPU; the [N, 4] variants
+        # of this output cost 1.4-2.3 ms/step in relayout copies on the
+        # r3e/r3f traces. The reg loss consumes [4, N] directly.
+        pl.BlockSpec((1, 4, tn), lambda bi_, ti: (bi_, 0, ti),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ip, 8), lambda bi_, ti: (bi_, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -192,7 +195,7 @@ def match_anchors_pallas(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         return outs[:, 0, :n]
     mx, tgt, bi_t = outs
     best = jnp.minimum(bi_t[:, :i, 0], n - 1)  # pad-lane safety only
-    return mx[:, 0, :n], tgt[:, :n, :4], best
+    return mx[:, 0, :n], tgt[:, :, :n], best
 
 
 def match_anchors_xla(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
@@ -210,7 +213,9 @@ def match_anchors_xla(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         matched = ious.argmax(axis=1)
         onehot = jax.nn.one_hot(matched, gt.shape[0], dtype=gt.dtype)
         matched_box = onehot @ gt
-        return (max_iou, encode_boxes(matched_box, anchors),
+        # Targets PLANAR [4, N], matching the pallas kernel's output
+        # orientation (see match_anchors_pallas docstring).
+        return (max_iou, encode_boxes(matched_box, anchors).T,
                 ious.argmax(axis=0))
 
     out = jax.vmap(per_image)(gt_boxes, gt_valid)

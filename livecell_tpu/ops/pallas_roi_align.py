@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from livecell_tpu.ops.interp import roi_sample_matrices
 
 # ROI block: 8 ROIs' intermediates [8, n, W, Cb] stay well under VMEM.
 _KB = 16
@@ -39,11 +38,53 @@ _KB = 16
 _CB = 128
 
 
-def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, *, n: int):
+def _axis_weights(lo, hi, size: int, n: int, out_size: int,
+                  ratio: int, scale: float) -> jnp.ndarray:
+    """Pooled bilinear sample weights, computed in-registers.
+
+    Same math as ops/interp.roi_sample_matrices with the 2x2 sample
+    average pre-folded (torchvision RoIAlign, aligned=False): building
+    these [K, n, H]/[K, n, W] matrices in XLA cost ~2 ms/step (per-ROI
+    elementwise chains over sub-128 minor dims); in-kernel they are a
+    few iota passes per tile. lo/hi: [KB, 1, 1] box coords. Rows
+    p >= out_size (even-padding) get zero weight."""
+    kb = lo.shape[0]
+    start = lo * scale
+    bin_sz = jnp.maximum(hi * scale - start, 1.0) / out_size
+    # Integer iota + cast: Mosaic has no float iota lowering.
+    p = jax.lax.broadcasted_iota(jnp.int32, (kb, n, 1), 1) \
+        .astype(jnp.float32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (kb, n, size), 2) \
+        .astype(jnp.float32)
+    w = jnp.zeros((kb, n, size), jnp.float32)
+    for s in range(ratio):
+        c = start + (p + (s + 0.5) / ratio) * bin_sz        # [KB, n, 1]
+        valid = (c >= -1.0) & (c <= float(size))
+        cc = jnp.clip(c, 0.0, float(size - 1))
+        w = w + jnp.maximum(0.0, 1.0 - jnp.abs(cc - grid)) \
+            * valid.astype(jnp.float32)
+    w = w * (p < out_size).astype(jnp.float32) / ratio
+    return w.astype(jnp.bfloat16)                           # [KB, n, size]
+
+
+def _tile_weights(box_ref, h: int, w: int, n: int, out_size: int,
+                  ratio: int, scale: float):
+    b = box_ref[0].astype(jnp.float32)                # [KB, 4]
+    kb = b.shape[0]
+    x0, y0 = b[:, 0].reshape(kb, 1, 1), b[:, 1].reshape(kb, 1, 1)
+    x1, y1 = b[:, 2].reshape(kb, 1, 1), b[:, 3].reshape(kb, 1, 1)
+    wy = _axis_weights(y0, y1, h, n, out_size, ratio, scale)
+    wx = _axis_weights(x0, x1, w, n, out_size, ratio, scale)
+    return wy, wx
+
+
+def _fwd_kernel(feat_ref, box_ref, out_ref, *, n: int, out_size: int,
+                ratio: int, scale: float):
     f = feat_ref[0]                                   # [H, W, Cb] bf16
     h, w, cb = f.shape
-    kb = wy_ref.shape[1]
-    wy = wy_ref[0].reshape(kb * n, h)                 # [Kb*n, H] bf16
+    kb = box_ref.shape[1]
+    wy, wx = _tile_weights(box_ref, h, w, n, out_size, ratio, scale)
+    wy = wy.reshape(kb * n, h)                        # [Kb*n, H] bf16
     # Row interpolation on the MXU; f32 accumulation. The 2x2 sample
     # average is already folded into the weight matrices (the mean over
     # sample pairs of wy_p (x) wx_q factorizes into (mean wy) (x)
@@ -57,7 +98,7 @@ def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, *, n: int):
     # natural [(k p), x, c] layout — einsum('kqx,kpxc') would force a
     # [k, x, p*c] transpose of t inside the kernel, which dominates the
     # kernel's runtime.
-    wxb = jnp.broadcast_to(wx_ref[0][:, None], (kb, n, n, w)) \
+    wxb = jnp.broadcast_to(wx[:, None], (kb, n, n, w)) \
         .reshape(kb * n, n, w)
     o = jax.lax.dot_general(
         wxb, t,
@@ -66,19 +107,21 @@ def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, *, n: int):
     out_ref[0] = o.reshape(kb, n, n, cb).astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, wy_ref, wx_ref, dfeat_ref, *, n: int):
+def _bwd_kernel(g_ref, box_ref, dfeat_ref, *, n: int, out_size: int,
+                ratio: int, scale: float):
     kb_idx = pl.program_id(2)
     h = dfeat_ref.shape[1]
     w = dfeat_ref.shape[2]
     cb = dfeat_ref.shape[3]
-    kb = wy_ref.shape[1]
+    kb = box_ref.shape[1]
+    wy, wx = _tile_weights(box_ref, h, w, n, out_size, ratio, scale)
 
     gp = g_ref[0].astype(jnp.bfloat16)                # [Kb, n, n, Cb]
     # The pooling average is folded into wy/wx (see _fwd_kernel), so g
     # back-propagates through the pooled weights directly.
     # u[k,p,x,c] = sum_q wx[k,q,x] * gp[k,p,q,c], batched over (k, p) so
     # gp is consumed in natural layout (same reasoning as the forward).
-    wxb = jnp.broadcast_to(wx_ref[0][:, None], (kb, n, n, w)) \
+    wxb = jnp.broadcast_to(wx[:, None], (kb, n, n, w)) \
         .reshape(kb * n, n, w)
     u = jax.lax.dot_general(
         wxb, gp.reshape(kb * n, n, cb),
@@ -86,7 +129,7 @@ def _bwd_kernel(g_ref, wy_ref, wx_ref, dfeat_ref, *, n: int):
         preferred_element_type=jnp.float32)           # [Kb*n(p), W, Cb]
     u = u.astype(jnp.bfloat16)
     # dfeat[y,x,c] += sum_k sum_p wy[k,p,y] * u[k,p,x,c]
-    wy = wy_ref[0].reshape(kb * n, h)                 # [Kb*n, H]
+    wy = wy.reshape(kb * n, h)                        # [Kb*n, H]
     d = jax.lax.dot_general(
         wy, u.reshape(kb * n, w * cb),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -110,30 +153,6 @@ def _pad_k(x: jnp.ndarray, k: int, kp: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def _weights(boxes, feat_hw, out_size, sampling_ratio, spatial_scale):
-    """Sample matrices with the sampling-point average pre-folded:
-    returns [K, out_size, dim] = mean over the ratio sample rows of
-    roi_sample_matrices' [K, out_size*ratio, dim]. Exact because the
-    2x2 sample mean factorizes per axis."""
-    r = sampling_ratio
-
-    def per_image(b):
-        wy, wx = roi_sample_matrices(
-            b.astype(jnp.float32), feat_hw, out_size, r, spatial_scale)
-
-        def pool(wm):
-            k, n, d = wm.shape
-            p = wm.reshape(k, n // r, r, d).mean(axis=2)
-            # Pad the row dim to the next even count — Mosaic cannot
-            # shape-cast odd sublane groups ((1,8,7,56)->(56,56) fails).
-            return jnp.pad(p, ((0, 0), (0, n // r % 2), (0, 0)))
-
-        return (pool(wy).astype(jnp.bfloat16),
-                pool(wx).astype(jnp.bfloat16))
-
-    return jax.vmap(per_image)(boxes)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_align_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                      out_size: int = 7, spatial_scale: float = 0.25,
@@ -150,24 +169,20 @@ def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
     k = boxes.shape[1]
     kp = -(-k // _KB) * _KB
     cb = _CB if c % _CB == 0 else c
+    n = out_size + out_size % 2      # Mosaic needs even sublane groups
 
-    wy, wx = _weights(boxes, (h, w), out_size, sampling_ratio,
-                      spatial_scale)
-    n = wy.shape[2]                                   # out_size, even-padded
-    wy = _pad_k(wy, k, kp)                            # [B, Kp, n, H]
-    wx = _pad_k(wx, k, kp)
+    boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)    # [B, Kp, 4]
     feat = features.astype(jnp.bfloat16)
 
     grid = (b, c // cb, kp // _KB)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n=n),
+        functools.partial(_fwd_kernel, n=n, out_size=out_size,
+                          ratio=sampling_ratio, scale=spatial_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, w, cb), lambda bi, ci, ki: (bi, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, n, h), lambda bi, ci, ki: (bi, ki, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, n, w), lambda bi, ci, ki: (bi, ki, 0, 0),
+            pl.BlockSpec((1, _KB, 4), lambda bi, ci, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -177,7 +192,7 @@ def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
         out_shape=jax.ShapeDtypeStruct(
             (b, kp, n, n, c), features.dtype),
         interpret=interpret,
-    )(feat, wy, wx)
+    )(feat, boxes_p)
     return out[:, :k, :out_size, :out_size]
 
 
@@ -198,11 +213,8 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
     kp = -(-k // _KB) * _KB
     cb = _CB if c % _CB == 0 else c
 
-    wy, wx = _weights(boxes, (h, w), out_size, sampling_ratio,
-                      spatial_scale)
-    n = wy.shape[2]
-    wy = _pad_k(wy, k, kp)
-    wx = _pad_k(wx, k, kp)
+    n = out_size + out_size % 2
+    boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)
     g = _pad_k(g, k, kp)
     if n != out_size:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, n - out_size),
@@ -210,15 +222,14 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
 
     grid = (b, c // cb, kp // _KB)
     dfeat = pl.pallas_call(
-        functools.partial(_bwd_kernel, n=n),
+        functools.partial(_bwd_kernel, n=n, out_size=out_size,
+                          ratio=sampling_ratio, scale=spatial_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _KB, n, n, cb),
                          lambda bi, ci, ki: (bi, ki, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, n, h), lambda bi, ci, ki: (bi, ki, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, n, w), lambda bi, ci, ki: (bi, ki, 0, 0),
+            pl.BlockSpec((1, _KB, 4), lambda bi, ci, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -226,7 +237,7 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         interpret=interpret,
-    )(g, wy, wx)
+    )(g, boxes_p)
     return dfeat.astype(fdtype), jnp.zeros_like(boxes)
 
 

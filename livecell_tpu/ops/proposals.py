@@ -76,8 +76,8 @@ def training_proposals(
     boxes = anchors[top_idx]
     if deltas is not None:
         from livecell_tpu.ops.boxes import decode_boxes
-        boxes = jax.lax.stop_gradient(
-            decode_boxes(deltas[top_idx], boxes))
+        boxes = jax.lax.stop_gradient(decode_boxes(
+            deltas[top_idx].astype(jnp.float32), boxes))
     valid = top_scores > score_thresh
     boxes = clip_boxes(boxes, image_size)
     valid &= small_box_mask(boxes, min_size)
@@ -107,7 +107,7 @@ def inference_proposals(
     boxes = anchors[top_idx]
     if deltas is not None:
         from livecell_tpu.ops.boxes import decode_boxes
-        boxes = decode_boxes(deltas[top_idx], boxes)
+        boxes = decode_boxes(deltas[top_idx].astype(jnp.float32), boxes)
     valid = top_scores > score_thresh
     boxes = clip_boxes(boxes, image_size)
     valid &= small_box_mask(boxes, min_size)

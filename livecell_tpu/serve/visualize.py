@@ -118,6 +118,70 @@ def create_gt_mask_overlay(annotations: List[Dict], frame_hw):
     return overlay, count
 
 
+def prediction_panels(image: np.ndarray, gt_boxes: np.ndarray,
+                      pred_boxes: np.ndarray, pred_scores: np.ndarray,
+                      path: str, score_thresh: float = 0.5) -> Dict:
+    """3-panel training-progress figure: original / GT boxes (green) /
+    predictions over `score_thresh` (red, score + best-IoU labels).
+
+    Functional port of the reference's per-epoch prediction visualizer
+    (reference train_transfer.py:258-337). `image` is HxWx3 float [0,1]
+    or uint8; boxes are xyxy. Returns the summary stats the reference
+    prints (instance counts, mean confidence/IoU)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import patches
+
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = np.clip(img, 0, 1)
+
+    keep = pred_scores > score_thresh
+    pb, ps = pred_boxes[keep], pred_scores[keep]
+    if len(gt_boxes) and len(pb):
+        from livecell_tpu.ops.boxes import box_iou
+
+        ious = np.asarray(box_iou(pb, gt_boxes)).max(axis=1)
+    else:
+        ious = np.zeros(len(pb), np.float32)
+
+    fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+    axes[0].imshow(img)
+    axes[0].set_title("Original Image")
+    axes[1].imshow(img)
+    axes[1].set_title(f"Ground Truth ({len(gt_boxes)} instances)")
+    for box in gt_boxes:
+        x1, y1, x2, y2 = box
+        axes[1].add_patch(patches.Rectangle(
+            (x1, y1), x2 - x1, y2 - y1, linewidth=2,
+            edgecolor="green", facecolor="none"))
+    axes[2].imshow(img)
+    axes[2].set_title(f"Predictions ({len(pb)} instances, "
+                      f"score > {score_thresh})")
+    for box, score, iou in zip(pb, ps, ious):
+        x1, y1, x2, y2 = box
+        axes[2].add_patch(patches.Rectangle(
+            (x1, y1), x2 - x1, y2 - y1, linewidth=2,
+            edgecolor="red", facecolor="none"))
+        axes[2].text(x1, y1 - 5, f"{score:.2f} (IoU:{iou:.2f})",
+                     color="red", fontsize=8, weight="bold",
+                     bbox=dict(facecolor="white", alpha=0.7,
+                               edgecolor="none"))
+    for ax in axes:
+        ax.axis("off")
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return {"gt_instances": int(len(gt_boxes)),
+            "pred_instances": int(len(pb)),
+            "mean_confidence": float(ps.mean()) if len(ps) else 0.0,
+            "mean_iou": float(ious.mean()) if len(ious) else 0.0}
+
+
 def visualize_with_ground_truth(base_name: str,
                                 original_img: Optional[np.ndarray],
                                 annotations: List[Dict],

@@ -17,6 +17,8 @@ from livecell_tpu.data.dataset import PackedDataset
 from tests.test_model import TINY
 from tests.util_fakedata import make_fake_livecell
 
+pytestmark = pytest.mark.slow  # heavy integration tier (see pyproject.toml)
+
 
 @pytest.fixture(scope="module")
 def packed(tmp_path_factory):

@@ -83,6 +83,7 @@ def test_train_forward_no_gt(model_and_vars):
     assert float(losses["loss_mask"]) == 0.0
 
 
+@pytest.mark.slow
 def test_gradients_flow(model_and_vars):
     model, variables = model_and_vars
     images, targets = synthetic_batch(TINY)
@@ -130,6 +131,7 @@ def test_inference_jit_static(model_and_vars):
     assert d1.boxes.shape == d2.boxes.shape
 
 
+@pytest.mark.slow
 def test_train_forward_heads_all_images():
     """Fixed mode: every image supervises RPN + heads (quirk-fix flag)."""
     import dataclasses
@@ -157,6 +159,7 @@ def test_train_forward_heads_all_images():
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
 
 
+@pytest.mark.slow
 def test_train_and_infer_decode_proposals():
     """Fixed mode with decoded RPN/box deltas (quirk-fix flag pair)."""
     cfg = dataclasses.replace(TINY, heads_all_images=True,
@@ -227,6 +230,7 @@ def test_rpn_reg_loss_forces_best_anchor():
     assert float(loss_off) == 0.0
 
 
+@pytest.mark.slow
 def test_mask_train_subset_loss_identical():
     """With mask_train_samples >= the per-image fg count, the fg-subset
     mask path computes the exact same loss dict as running the mask head

@@ -68,7 +68,7 @@ def test_all_invalid_gt(rng):
     np.testing.assert_allclose(
         np.asarray(tgt),
         np.asarray(encode_boxes(jnp.broadcast_to(gt[0, 0], (520, 4)),
-                                anchors))[None], rtol=1e-5, atol=1e-5)
+                                anchors).T)[None], rtol=1e-5, atol=1e-5)
 
 
 def test_xla_matches_gather_form(rng):
@@ -82,7 +82,8 @@ def test_xla_matches_gather_form(rng):
                                       np.asarray(ious.max(axis=1)))
         np.testing.assert_allclose(
             np.asarray(tgt[b]),
-            np.asarray(encode_boxes(gt[b][ious.argmax(axis=1)], anchors)),
+            np.asarray(encode_boxes(gt[b][ious.argmax(axis=1)],
+                                    anchors).T),
             rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(ba[b]),
                                       np.asarray(ious.argmax(axis=0)))

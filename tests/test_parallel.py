@@ -12,6 +12,8 @@ from livecell_tpu.parallel.train_step import (
     create_train_state, make_eval_step, make_train_step)
 from tests.test_model import TINY, synthetic_batch
 
+pytestmark = pytest.mark.slow  # heavy integration tier (see pyproject.toml)
+
 
 @pytest.fixture(scope="module")
 def setup():

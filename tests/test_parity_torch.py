@@ -23,6 +23,8 @@ from livecell_tpu.ops.mask_ops import extract_mask_targets  # noqa: E402
 from tests.torch_ref.export import export_to_torch  # noqa: E402
 from tests.torch_ref.reference_model import RefMaskRCNN  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy integration tier (see pyproject.toml)
+
 # 16x16 image -> 4x4 stride-4 feature map -> 144 anchors. With caps
 # >= 144 every sampling site keeps everything (order-invariant losses),
 # so randperm vs jax.random differences cannot matter.

@@ -34,6 +34,7 @@ def test_frame_predictor_single_device(tiny_frame_setup):
     assert len(out.scores) == len(out.masks) == len(out.tile_nums)
 
 
+@pytest.mark.slow
 def test_frame_predictor_dense_dets(tiny_frame_setup):
     """Dense-scene flags (--dets 256) flow through the stitch path:
     detection slots widen and tile attribution stays correct even when
@@ -77,6 +78,7 @@ def test_apply_dense_flags_values():
     assert same == TINY
 
 
+@pytest.mark.slow
 def test_frame_predictor_tile_parallel_matches(tiny_frame_setup):
     model, variables, tcfg = tiny_frame_setup
     tiles = np.random.default_rng(1).integers(

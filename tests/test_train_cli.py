@@ -12,6 +12,8 @@ from livecell_tpu.data.tiling import LIVECellPreprocessor
 from tests.test_model import TINY
 from tests.util_fakedata import make_fake_livecell
 
+pytestmark = pytest.mark.slow  # heavy integration tier (see pyproject.toml)
+
 
 @pytest.fixture(scope="module")
 def small_split(tmp_path_factory):

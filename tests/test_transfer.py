@@ -52,6 +52,7 @@ def test_transfer_param_tree(tmodel):
     assert "layer3_5" in p["backbone"]
 
 
+@pytest.mark.slow
 def test_transfer_train_losses(tmodel):
     model, variables = tmodel
     images, targets = synthetic()
