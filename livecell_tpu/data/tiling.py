@@ -29,6 +29,7 @@ import numpy as np
 from PIL import Image
 
 from livecell_tpu.data.coco import CocoIndex
+from livecell_tpu.data.png import write_gray_png
 
 TILES_PER_IMAGE = 25
 
@@ -112,10 +113,15 @@ class LIVECellPreprocessor:
     def __init__(self, source_dir: str, output_dir: str,
                  total_images: int = 100,
                  tiles_per_image: int = TILES_PER_IMAGE,
-                 cell_type_prefix: str = "A172"):
+                 cell_type_prefix: str = "A172",
+                 png_compress_level: int = 1):
         self.source_dir = Path(source_dir)
         self.output_dir = Path(output_dir)
         self.total_images = total_images
+        # zlib level for tile PNGs. 1 encodes ~3x faster than PIL's
+        # default 6 at ~15% larger files; pixels are identical. Pass 6
+        # for byte-size parity with the reference's default save.
+        self.png_compress_level = png_compress_level
         self.grid_size = int(math.sqrt(tiles_per_image)) + 2
         self.window = 3
         self.cell_type_prefix = cell_type_prefix
@@ -174,17 +180,57 @@ class LIVECellPreprocessor:
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(img_info["file_name"]).stem
 
+        # Decode once; tiles are strided views of this array. Prefilter
+        # the tile x annotation pairing in one vectorized pass so
+        # remap_annotation only runs on bboxes that can clear the 30%
+        # overlap gate (a cell touches ~1-4 of the 25 tiles; the naive
+        # loop is 25xA remaps per frame — reference
+        # preprocess_dataset.py:229-240 does exactly that).
+        arr = np.asarray(img)
+        # LIVECell microscopy is grayscale stored as RGB; when all three
+        # channels match, write L-mode PNGs (3x fewer bytes to encode,
+        # 3x less disk). Every consumer opens tiles with .convert("RGB"),
+        # so the round-trip is pixel-identical.
+        if (arr.ndim == 3 and arr.shape[2] == 3
+                and (arr[..., 1] == arr[..., 0]).all()
+                and (arr[..., 2] == arr[..., 0]).all()):
+            arr = arr[..., 0]
+        tiles_np = np.asarray(coords, dtype=np.float64)      # [T, 4] xyxy
+        if annotations:
+            bb = np.asarray([a["bbox"] for a in annotations],
+                            dtype=np.float64)                 # [A, 4] xywh
+            ix1 = np.maximum(tiles_np[:, None, 0], bb[None, :, 0])
+            iy1 = np.maximum(tiles_np[:, None, 1], bb[None, :, 1])
+            ix2 = np.minimum(tiles_np[:, None, 2], bb[None, :, 0] + bb[:, 2])
+            iy2 = np.minimum(tiles_np[:, None, 3], bb[None, :, 1] + bb[:, 3])
+            inter = (np.clip(ix2 - ix1, 0, None)
+                     * np.clip(iy2 - iy1, 0, None))           # [T, A]
+            area = np.maximum(bb[:, 2] * bb[:, 3], 1e-12)
+            # Slightly below remap's 0.3 gate: the prefilter only needs
+            # to be a superset; remap_annotation stays authoritative.
+            cand = inter / area >= 0.29                       # [T, A]
+        else:
+            cand = np.zeros((len(coords), 0), dtype=bool)
+
         results = []
         for tile_idx, tc in enumerate(coords):
             img_counter[split] += 1
             new_id = img_counter[split]
             tile_name = f"{stem}_tile_{tile_idx:02d}.png"
-            img.crop(tc).save(out_dir / tile_name)
+            x0, y0, x1, y1 = tc
+            tile_arr = arr[y0:y1, x0:x1]
+            if tile_arr.ndim == 2:
+                write_gray_png(out_dir / tile_name, tile_arr,
+                               self.png_compress_level)
+            else:
+                Image.fromarray(tile_arr).save(
+                    out_dir / tile_name,
+                    compress_level=self.png_compress_level)
 
             tile_anns = []
             ann_id = new_id * 10000
-            for ann in annotations:
-                remapped = remap_annotation(ann, tc)
+            for ai in np.nonzero(cand[tile_idx])[0]:
+                remapped = remap_annotation(annotations[ai], tc)
                 if remapped is not None:
                     ann_id += 1
                     remapped["id"] = ann_id
@@ -229,8 +275,12 @@ class LIVECellPreprocessor:
             ann_dir = self.output_dir / "annotations"
             ann_dir.mkdir(parents=True, exist_ok=True)
             with open(ann_dir / f"livecell_coco_{split}.json", "w") as f:
-                json.dump({"images": images_out, "annotations": anns_out,
-                           "categories": coco.dataset["categories"]}, f)
+                # dumps() uses the C encoder; dump() streams through the
+                # pure-Python one (~10x slower — it was 43% of
+                # preprocess time on the 8-frame bench).
+                f.write(json.dumps(
+                    {"images": images_out, "annotations": anns_out,
+                     "categories": coco.dataset["categories"]}))
             print(f"{split} complete: {len(images_out)} tiles from "
                   f"{len(selected)} source images")
         print(f"Finished. Output directory: {self.output_dir}")

@@ -244,10 +244,11 @@ class CustomMaskRCNN(nn.Module):
             t = detector.match_head_targets(
                 props.boxes, props.valid, boxes_i, valid_i, mask28_i, c)
             if use_subset:
-                # Mask-fg proposals first (stable sort keeps proposal
-                # order among equals); the mask head then runs on the
-                # first m only. Identical loss while fg count <= m.
-                order = jnp.argsort(-t.mask_weight)[:m]
+                # Mask-fg proposals first (top_k is stable on ties, so
+                # proposal order is kept among equals); the mask head
+                # then runs on the top m only. Identical loss while the
+                # fg count <= m.
+                order = jax.lax.top_k(t.mask_weight, m)[1]
                 msel = (order, t.mask_targets[order],
                         t.mask_weight[order])
             else:

@@ -34,8 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ROI block: 8 ROIs' intermediates [8, n, W, Cb] stay well under VMEM.
 _KB = 16
-# Channel block: one lane tile.
-_CB = 128
+# Channel blocks. Forward: two lane tiles — halves the grid and doubles
+# the N dim of the (MXU-starved, K=8) column-interpolation dot.
+# Backward keeps one tile: its f32 [KB*n, W, Cb] intermediate overflows
+# the 16 MB VMEM budget at 256.
+_CB_FWD = 256
+_CB_BWD = 128
 
 
 def _axis_weights(lo, hi, size: int, n: int, out_size: int,
@@ -168,7 +172,7 @@ def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
     b, h, w, c = features.shape
     k = boxes.shape[1]
     kp = -(-k // _KB) * _KB
-    cb = _CB if c % _CB == 0 else c
+    cb = _CB_FWD if c % _CB_FWD == 0 else c
     n = out_size + out_size % 2      # Mosaic needs even sublane groups
 
     boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)    # [B, Kp, 4]
@@ -211,7 +215,7 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
     b, h, w, c = features.shape
     k = boxes.shape[1]
     kp = -(-k // _KB) * _KB
-    cb = _CB if c % _CB == 0 else c
+    cb = _CB_BWD if c % _CB_BWD == 0 else c
 
     n = out_size + out_size % 2
     boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)
