@@ -148,10 +148,6 @@ class ModelConfig:
     # Compute dtype for the conv/matmul path (params stay f32).
     compute_dtype: str = "bfloat16"
 
-    # NMS backend: "xla" (lax.fori_loop greedy) or "pallas" (single
-    # fused VMEM kernel, TPU only).
-    nms_backend: str = "xla"
-
     # RoIAlign einsum precision ("default" = one MXU pass on bf16
     # inputs; "highest" = exact fp32 parity with the CUDA kernel).
     roi_precision: str = "default"

@@ -299,10 +299,12 @@ class CustomMaskRCNN(nn.Module):
         feat0 = feats[0]  # dtype handled per-backend in _roi_align
         b = images.shape[0]
 
-        if c.nms_backend == "pallas":
-            from livecell_tpu.ops.pallas_nms import nms_pallas as nms_fn
-        else:
-            nms_fn = nms_fixed
+        # NMS backend settled by measurement (scripts/bench_nms.py, r3):
+        # the XLA fixed-iteration greedy beat a fused single-VMEM Pallas
+        # kernel at every production shape (1.12 vs 2.08 ms @ 16x500,
+        # 0.60 vs 0.78 @ 16x250, 2.80 vs 3.81 @ 8x1000), and the kernel
+        # mismatched on hardware at n=1000; it was deleted.
+        nms_fn = nms_fixed
 
         obj = cls_scores[0].reshape(b, -1).astype(jnp.float32)
         rpn_dlt = bbox_deltas[0].reshape(b, -1, 4)  # bf16; decode casts

@@ -1,11 +1,14 @@
-"""On-chip A/B of the two NMS backends at production shapes.
+"""On-chip NMS benchmark at production shapes.
 
-VERDICT r2 item 5: the Pallas NMS kernel existed but was only ever run
-in interpret mode; decide its fate with data. Times `nms_fixed` (XLA
-fixed-iteration greedy, ops/nms.py) against `nms_pallas` (single-VMEM
-kernel, ops/pallas_nms.py) jitted + vmapped over the batch at the
-shapes the models actually run (reference proposal path:
-src/utils/proposal_utils.py:55):
+VERDICT r2 item 5 asked to settle the dormant Pallas NMS kernel with
+data. Settled (r3, this script): the XLA fixed-iteration greedy won at
+every shape (xla vs pallas median ms: 1.12 vs 2.08 @ 16x500->250, 0.60
+vs 0.78 @ 16x250->50, 2.80 vs 3.81 @ 8x1000->1000, 50-iteration
+in-graph scan to amortize the ~25 ms tunnel RTT), and the kernel
+mismatched the reference semantics on hardware at n=1000 (62/8000
+indices). The kernel was deleted; this script remains to benchmark
+`nms_fixed` (ops/nms.py) at the shapes the models actually run
+(reference proposal path: src/utils/proposal_utils.py:55):
 
   custom RPN:   [16, 500] -> keep 250   (training proposal NMS)
   custom infer: [16, 250] -> keep 50    (detection NMS, quirk caps)
@@ -32,7 +35,6 @@ def main():
     import numpy as np
 
     from livecell_tpu.ops.nms import nms_fixed
-    from livecell_tpu.ops.pallas_nms import nms_pallas
     from livecell_tpu.utils.profiling import time_fn
 
     rng = np.random.default_rng(0)
@@ -49,24 +51,32 @@ def main():
              cx + wh[..., 0] / 2, cy + wh[..., 1] / 2], axis=-1))
         scores = jnp.asarray(rng.uniform(size=(b, n)).astype(np.float32))
 
-        for backend, fn in (("xla", nms_fixed), ("pallas", nms_pallas)):
-            f = jax.jit(jax.vmap(
-                lambda bx, sc: fn(bx, sc, thresh, keep)[0]))
-            t = time_fn(f, boxes, scores, iters=20)
+        loops = 50
+        for backend, fn in (("xla", nms_fixed),):
+            nms_b = jax.vmap(lambda bx, sc: fn(bx, sc, thresh, keep)[0])
+
+            # Amortize the ~25 ms tunnel RTT: `loops` dependent NMS
+            # calls inside one jit (score offset keyed on the previous
+            # iteration's output defeats CSE), then one value fetch.
+            @jax.jit
+            def rep(bx, sc):
+                def body(carry, _):
+                    out = nms_b(bx, sc + 1e-9 * carry[:, :1])
+                    return out.astype(jnp.float32), ()
+                carry, _ = jax.lax.scan(
+                    body, jnp.zeros((b, keep), jnp.float32), None,
+                    length=loops)
+                return carry
+
+            t = time_fn(rep, boxes, scores, iters=10)
             results.append({"metric": f"nms_{name}_{backend}",
-                            "value": round(t["median_s"] * 1e3, 3),
+                            "value": round(t["median_s"] * 1e3 / loops,
+                                           4),
                             "unit": "ms", "batch": b, "n": n,
-                            "keep": keep})
+                            "keep": keep,
+                            "rtt_incl_ms": round(
+                                t["median_s"] * 1e3, 2)})
             print(json.dumps(results[-1]), flush=True)
-        # equality check between backends on this shape
-        ia = jax.jit(jax.vmap(lambda bx, sc: nms_fixed(
-            bx, sc, thresh, keep)[0]))(boxes, scores)
-        ib = jax.jit(jax.vmap(lambda bx, sc: nms_pallas(
-            bx, sc, thresh, keep)[0]))(boxes, scores)
-        print(json.dumps({"metric": f"nms_{name}_equal",
-                          "value": bool((np.asarray(ia)
-                                         == np.asarray(ib)).all())}),
-              flush=True)
 
 
 if __name__ == "__main__":
