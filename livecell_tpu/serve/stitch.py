@@ -211,6 +211,11 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
             boxes=global_boxes, scores=scores[v], masks=masks,
             offsets=sel_off, tile_nums=t_ids)
 
+    # The raw jitted device computation (u8 tiles -> packed detections),
+    # exposed so benchmarks can attribute device time vs host/tunnel
+    # overhead (scripts/bench_serve.py).
+    run.device_fn = predict
+    run.n_pad_tiles = n_pad_tiles
     return run
 
 

@@ -52,6 +52,11 @@ def batch_eval_stats(det: Detections, gt_boxes: jnp.ndarray,
         max_iou = jnp.where(keep, iou.max(axis=1), 0.0)
 
         both = (n_pred > 0) & (n_gt > 0)
+        # Reference semantics (train_custom.py:141-151): every
+        # prediction whose best IoU clears the threshold counts as a
+        # true positive — several can match the same GT, so per-image
+        # recall can exceed 1 on duplicate-heavy predictions. Kept for
+        # parity; COCO AP (train/coco_eval.py) is the matched metric.
         tp = jnp.sum((max_iou > iou_thresh) & keep) * both
         iou_sum = jnp.sum(jnp.maximum(max_iou, 0.0) * keep) * both
         iou_cnt = n_pred * both

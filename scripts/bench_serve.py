@@ -78,8 +78,28 @@ def bench_inference() -> list[dict]:
         return model.apply(variables, img, train=False)
 
     t = time_fn(infer, tile, warmup=3, iters=20)
+    total_ms = t["median_s"] * 1e3
+
+    # Device-only attribution: the same graph scanned LOOPS times in one
+    # dispatch (carry-fed input perturbation defeats CSE), one fetch.
+    # total - device = tunnel RTT + host dispatch, the part a production
+    # deployment without the tunnel would not pay.
+    loops = 20
+
+    @jax.jit
+    def rep(img):
+        def body(c, _):
+            out = infer(img + c * 1e-9)
+            return jnp.sum(out.scores).astype(jnp.float32) * 1e-20, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=loops)
+        return c
+
+    td = time_fn(rep, tile, warmup=2, iters=5)
+    device_ms = td["median_s"] * 1e3 / loops
     results.append({"metric": "single_tile_inference_p50_ms",
-                    "value": round(t["median_s"] * 1e3, 3), "unit": "ms"})
+                    "value": round(total_ms, 3), "unit": "ms",
+                    "device_ms": round(device_ms, 3),
+                    "rtt_ms": round(total_ms - device_ms, 3)})
 
     # Config 5: full-frame tiled serve (25 tiles -> detections).
     predict = make_frame_predictor(model, variables, cfg.tile)
@@ -92,9 +112,30 @@ def bench_inference() -> list[dict]:
         t0 = time.perf_counter()
         predict(tiles)
         times.append(time.perf_counter() - t0)
+    frame_ms = float(np.median(times)) * 1e3
+
+    # Device-only share of the frame serve: scan the jitted device
+    # computation (exposed as predict.device_fn) in one dispatch.
+    dev_fn = predict.device_fn
+    tiles_dev = jnp.asarray(tiles)
+    loops = 10
+
+    @jax.jit
+    def rep_frame(t_u8):
+        def body(c, _):
+            outs = dev_fn(t_u8 + c)
+            # ~0 at runtime, but data-dependent so XLA cannot fold the
+            # loop iterations together.
+            return (jnp.sum(outs[1]) * 1e-20).astype(jnp.uint8), ()
+        c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=loops)
+        return c
+
+    td = time_fn(rep_frame, tiles_dev, warmup=2, iters=5)
+    device_ms = td["median_s"] * 1e3 / loops
     results.append({"metric": "full_frame_serve_p50_ms",
-                    "value": round(float(np.median(times)) * 1e3, 3),
-                    "unit": "ms"})
+                    "value": round(frame_ms, 3), "unit": "ms",
+                    "device_ms": round(device_ms, 3),
+                    "host_rtt_ms": round(frame_ms - device_ms, 3)})
     return results
 
 
