@@ -145,6 +145,13 @@ class ModelConfig:
     # fixed-mode step) shrink by train_num_samples/N.
     mask_train_samples: int = 0
 
+    # Normalize the backbone with running statistics even in train mode
+    # (torchvision FrozenBatchNorm2d semantics — the reference's
+    # pretrained backbone, train_transfer.py:22). Skips the per-step
+    # batch-stat reduction passes over every backbone activation; a
+    # measured perf/quality trade (see STATUS round 3).
+    frozen_bn: bool = False
+
     # Compute dtype for the conv/matmul path (params stay f32).
     compute_dtype: str = "bfloat16"
 

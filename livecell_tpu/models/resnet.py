@@ -22,6 +22,7 @@ class ConvBN(nn.Module):
     kernel: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -31,8 +32,9 @@ class ConvBN(nn.Module):
                     padding=((pad, pad), (pad, pad)), use_bias=False,
                     kernel_init=kaiming_normal_fan_out,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = nn.BatchNorm(
+            use_running_average=(not train) or self.frozen_bn,
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return x
 
 
@@ -42,17 +44,19 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = ConvBN(self.features, 3, self.stride, self.dtype,
-                     name="conv1")(x, train)
+                     self.frozen_bn, name="conv1")(x, train)
         out = nn.relu(out)
-        out = ConvBN(self.features, 3, 1, self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.features, 3, 1, self.dtype, self.frozen_bn,
+                     name="conv2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = ConvBN(self.features, 1, self.stride, self.dtype,
-                              name="downsample")(x, train)
+                              self.frozen_bn, name="downsample")(x, train)
         return nn.relu(out + identity)
 
 
@@ -62,19 +66,20 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = nn.relu(ConvBN(self.features, 1, 1, self.dtype,
-                             name="conv1")(x, train))
+                             self.frozen_bn, name="conv1")(x, train))
         out = nn.relu(ConvBN(self.features, 3, self.stride, self.dtype,
-                             name="conv2")(out, train))
-        out = ConvBN(self.features * 4, 1, 1, self.dtype,
+                             self.frozen_bn, name="conv2")(out, train))
+        out = ConvBN(self.features * 4, 1, 1, self.dtype, self.frozen_bn,
                      name="conv3")(out, train)
         if self.stride != 1 or x.shape[-1] != self.features * 4:
             identity = ConvBN(self.features * 4, 1, self.stride, self.dtype,
-                              name="downsample")(x, train)
+                              self.frozen_bn, name="downsample")(x, train)
         return nn.relu(out + identity)
 
 
@@ -89,6 +94,11 @@ class ResNetBackbone(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # Normalize with running statistics even in train mode (torchvision
+    # FrozenBatchNorm2d semantics, train_transfer.py:22 backbone): kills
+    # the per-step batch-stat reduction passes; for fine-tune workflows
+    # and as a measured perf option (see STATUS round 3).
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool,
@@ -101,8 +111,9 @@ class ResNetBackbone(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=kaiming_normal_fan_out,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(
+            use_running_average=(not train) or self.frozen_bn,
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -111,7 +122,7 @@ class ResNetBackbone(nn.Module):
         for i, (depth, width) in enumerate(zip(self.depths, self.widths)):
             for j in range(depth):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = block(width, stride, self.dtype,
+                x = block(width, stride, self.dtype, self.frozen_bn,
                           name=f"layer{i + 1}_{j}")(x, train)
             if i < len(post_stage) and post_stage[i] is not None:
                 x = post_stage[i](x)

@@ -109,6 +109,13 @@ class TransferConfig:
 
     compute_dtype: str = "bfloat16"
 
+    # torchvision's pretrained backbone uses FrozenBatchNorm2d
+    # (running statistics in train mode, never updated). Default False
+    # so from-scratch synthetic training keeps batch statistics; set
+    # True when fine-tuning imported torchvision weights for exact
+    # reference semantics (train_transfer.py:22).
+    frozen_bn: bool = False
+
     @property
     def box_pos(self) -> int:
         return int(self.box_batch * self.box_pos_fraction)
@@ -358,7 +365,8 @@ class TransferMaskRCNN(nn.Module):
         dtype = jnp.dtype(c.compute_dtype)
         self.backbone = ResNetBackbone(depths=(3, 4, 6, 3),
                                        widths=(64, 128, 256, 512),
-                                       bottleneck=True, dtype=dtype)
+                                       bottleneck=True, dtype=dtype,
+                                       frozen_bn=c.frozen_bn)
         self.fpn = FPN(in_channels=(256, 512, 1024, 2048),
                        out_channels=256, relu_outputs=False,
                        extra_maxpool=True, dtype=dtype)

@@ -123,6 +123,11 @@ def main(argv=None, config=None):
                         choices=["auto", "xla", "pallas"],
                         help="anchor-GT matcher backend (pallas = fused "
                              "VMEM kernel, ops/pallas_match.py)")
+    parser.add_argument("--frozen_bn", action="store_true",
+                        help="backbone BN uses running statistics even "
+                             "in train mode (torchvision FrozenBatchNorm"
+                             "2d semantics; skips batch-stat reduction "
+                             "passes — ModelConfig.frozen_bn)")
     parser.add_argument("--topk_backend", type=str, default=None,
                         choices=["auto", "exact", "approx"],
                         help="training-time top-k (approx = single-pass "
@@ -173,7 +178,7 @@ def main(argv=None, config=None):
     mcfg = cfg.model
     if args.fixed_heads or args.decode_proposals or args.mask_samples \
             or args.roi_backend or args.dets or args.match_backend \
-            or args.topk_backend:
+            or args.topk_backend or args.frozen_bn:
         import dataclasses
 
         mcfg = dataclasses.replace(
@@ -182,7 +187,8 @@ def main(argv=None, config=None):
             mask_train_samples=args.mask_samples or mcfg.mask_train_samples,
             roi_backend=args.roi_backend or mcfg.roi_backend,
             match_backend=args.match_backend or mcfg.match_backend,
-            topk_backend=args.topk_backend or mcfg.topk_backend)
+            topk_backend=args.topk_backend or mcfg.topk_backend,
+            frozen_bn=args.frozen_bn or mcfg.frozen_bn)
     from livecell_tpu.config import apply_dense_flags
 
     mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)

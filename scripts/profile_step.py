@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--fixed", action="store_true",
                         help="profile the fixed+decode quality mode")
     parser.add_argument("--mask_samples", type=int, default=0)
+    parser.add_argument("--frozen_bn", action="store_true",
+                        help="backbone BN uses running stats in train "
+                             "mode (skips batch-stat reductions)")
     args = parser.parse_args()
 
     import jax
@@ -41,7 +44,8 @@ def main():
     enable_compilation_cache()
     cfg = ModelConfig(heads_all_images=args.fixed,
                       decode_proposals=args.fixed,
-                      mask_train_samples=args.mask_samples)
+                      mask_train_samples=args.mask_samples,
+                      frozen_bn=args.frozen_bn)
     model, variables = create_model(cfg, jax.random.key(0))
     tx = optax.adamw(1e-3, weight_decay=1e-4)
     state = create_train_state(model, variables, tx)

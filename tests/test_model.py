@@ -255,3 +255,33 @@ def test_mask_train_subset_loss_identical():
     assert set(lf) == set(ls)
     for k in lf:
         np.testing.assert_allclose(ls[k], lf[k], rtol=1e-6, err_msg=k)
+
+
+def test_frozen_bn_keeps_running_stats():
+    """frozen_bn=True: train-mode forward normalizes with running
+    statistics and never updates them (torchvision FrozenBatchNorm2d
+    semantics, reference train_transfer.py:22); losses stay finite."""
+    cfg = dataclasses.replace(TINY, frozen_bn=True)
+    model, variables = create_model(cfg, jax.random.key(0))
+    images, targets = synthetic_batch(cfg)
+
+    out, mut = model.apply(
+        variables, images, targets,
+        rngs={"sampling": jax.random.key(4)},
+        mutable=["batch_stats"], method=model.train_forward)
+    for a, b in zip(jax.tree.leaves(variables["batch_stats"]),
+                    jax.tree.leaves(mut["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(np.isfinite(float(v)) for v in out.values())
+
+    # Unfrozen control: the same forward must move the statistics.
+    model_u, variables_u = create_model(TINY, jax.random.key(0))
+    _, mut_u = model_u.apply(
+        variables_u, images, targets,
+        rngs={"sampling": jax.random.key(4)},
+        mutable=["batch_stats"], method=model_u.train_forward)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(variables_u["batch_stats"]),
+                        jax.tree.leaves(mut_u["batch_stats"])))
+    assert changed
