@@ -1,21 +1,35 @@
-"""Fused RoIAlign as a Pallas TPU kernel.
+"""Fused RoIAlign as Pallas TPU kernels.
 
 Why: the XLA einsum formulation (ops/roi_align.py) materializes the
 row-interpolated intermediate t = einsum('kyh,hwc->kywc') in HBM —
 [B=16, K=128, 14, W=76, C=256] bf16 is ~1.1 GB — and the xprof trace of
-the fixed-mode train step shows those convolution fusions plus their
-layout copies at ~13 ms of a 50 ms step, all HBM-bandwidth-bound
-(~1.2-1.5 GB accessed per op). This kernel keeps the whole chain in
-VMEM: the per-image feature slab (56x76x128 bf16 ~= 1.1 MB) is loaded
-once per (image, channel-block) and every ROI block's two interpolation
-contractions + 2x2 average pool run on-chip, writing only the pooled
-[K, 7, 7, C] result. HBM traffic drops ~30x on this op.
+the fixed-mode train step showed those contractions plus their layout
+copies at ~13 ms of a 50 ms step. The Pallas kernel keeps the whole
+chain in VMEM: the per-image feature slab (56x76x256 bf16 ~= 2.2 MB) is
+loaded once per (image, channel-block) and every ROI block's two
+interpolation contractions run on-chip, writing only the pooled
+[K, 7, 7, C] result.
+
+Structure (r3): THREE kernels instead of one. An r3 on-chip micro-bench
+(scripts/bench_roi_blocks.py + piece probes) showed the per-program
+bilinear-weight computation — a few iota/select passes over
+[KB, n, H]/[KB, n, W] — costing ~8 us/program, i.e. ~1 ms of the
+2.9 ms forward at its 128-program grid and ~2 ms of the backward at its
+256-program grid, dwarfing the GEMMs. So:
+
+  1. `_weights_kernel` computes the pooled bilinear weights for all
+     (image, ROI) pairs once — a ~0.1 ms elementwise kernel.
+  2. `_fwd_kernel` consumes the weight tensors and runs the two
+     interpolation GEMMs per (image, channel, ROI-block) program.
+  3. `_bwd_kernel` reuses the SAME weight tensors via the custom-VJP
+     residuals (they are a function of boxes only), transposing the
+     two contractions.
 
 Semantics are identical to ops/roi_align.roi_align (torchvision
 RoIAlign, aligned=False, sampling_ratio taps; reference
-custom_maskrcnn.py:48-50): the interpolation weight matrices come from
-the same ops/interp.roi_sample_matrices, so the golden tests' semantics
-are shared, with bf16 tap arithmetic (the model's "default" precision).
+custom_maskrcnn.py:48-50): the weight formula matches
+ops/interp.roi_sample_matrices with the 2x2 sample average pre-folded,
+with bf16 tap arithmetic (the model's "default" precision).
 
 The custom VJP returns d_feat only — boxes are non-differentiable
 through RoIAlign, as in torchvision (its CUDA backward produces
@@ -32,26 +46,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# ROI block: 8 ROIs' intermediates [8, n, W, Cb] stay well under VMEM.
-_KB = 16
-# Channel blocks. Forward: two lane tiles — halves the grid and doubles
-# the N dim of the (MXU-starved, K=8) column-interpolation dot.
-# Backward keeps one tile: its f32 [KB*n, W, Cb] intermediate overflows
-# the 16 MB VMEM budget at 256.
+# Block sizes from the r3 on-chip sweep (scripts/bench_roi_blocks.py).
+# VMEM bounds the f32 GEMM intermediate [KB*n, W, CB]; the 16 MB
+# default scoped-VMEM limit is raised per-call below (v5e has 128 MB).
+_KB = 64          # forward ROI block
 _CB_FWD = 256
-_CB_BWD = 128
+_KB_BWD = 32      # backward ROI block
+_CB_BWD = 256
+_KW = 128         # weights-kernel ROI block
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _axis_weights(lo, hi, size: int, n: int, out_size: int,
                   ratio: int, scale: float) -> jnp.ndarray:
-    """Pooled bilinear sample weights, computed in-registers.
+    """Pooled bilinear sample weights.
 
     Same math as ops/interp.roi_sample_matrices with the 2x2 sample
-    average pre-folded (torchvision RoIAlign, aligned=False): building
-    these [K, n, H]/[K, n, W] matrices in XLA cost ~2 ms/step (per-ROI
-    elementwise chains over sub-128 minor dims); in-kernel they are a
-    few iota passes per tile. lo/hi: [KB, 1, 1] box coords. Rows
-    p >= out_size (even-padding) get zero weight."""
+    average pre-folded (torchvision RoIAlign, aligned=False): the mean
+    over sample pairs of wy_p (x) wx_q factorizes into (mean wy) (x)
+    (mean wx), so n here is out_size (padded even), not
+    out_size*ratio. lo/hi: [KB, 1, 1] box coords. Rows p >= out_size
+    (even-padding) get zero weight."""
     kb = lo.shape[0]
     start = lo * scale
     bin_sz = jnp.maximum(hi * scale - start, 1.0) / out_size
@@ -71,28 +86,48 @@ def _axis_weights(lo, hi, size: int, n: int, out_size: int,
     return w.astype(jnp.bfloat16)                           # [KB, n, size]
 
 
-def _tile_weights(box_ref, h: int, w: int, n: int, out_size: int,
-                  ratio: int, scale: float):
-    b = box_ref[0].astype(jnp.float32)                # [KB, 4]
-    kb = b.shape[0]
-    x0, y0 = b[:, 0].reshape(kb, 1, 1), b[:, 1].reshape(kb, 1, 1)
-    x1, y1 = b[:, 2].reshape(kb, 1, 1), b[:, 3].reshape(kb, 1, 1)
-    wy = _axis_weights(y0, y1, h, n, out_size, ratio, scale)
-    wx = _axis_weights(x0, x1, w, n, out_size, ratio, scale)
-    return wy, wx
+def _weights_kernel(box_ref, wy_ref, wx_ref, *, n: int, out_size: int,
+                    ratio: int, scale: float):
+    b = box_ref[0].astype(jnp.float32)                # [KW, 4]
+    kw = b.shape[0]
+    h, w = wy_ref.shape[-1], wx_ref.shape[-1]
+    x0, y0 = b[:, 0].reshape(kw, 1, 1), b[:, 1].reshape(kw, 1, 1)
+    x1, y1 = b[:, 2].reshape(kw, 1, 1), b[:, 3].reshape(kw, 1, 1)
+    wy_ref[0] = _axis_weights(y0, y1, h, n, out_size, ratio, scale)
+    wx_ref[0] = _axis_weights(x0, x1, w, n, out_size, ratio, scale)
 
 
-def _fwd_kernel(feat_ref, box_ref, out_ref, *, n: int, out_size: int,
-                ratio: int, scale: float):
+def roi_weights(boxes_p: jnp.ndarray, h: int, w: int, n: int,
+                out_size: int, ratio: int, scale: float,
+                interpret: bool = False):
+    """All pooled bilinear weights: [B, Kp, 4] -> ([B, Kp, n, H],
+    [B, Kp, n, W]) bf16. Kp must be a multiple of 8."""
+    b, kp = boxes_p.shape[:2]
+    kw = min(_KW, kp)
+    return pl.pallas_call(
+        functools.partial(_weights_kernel, n=n, out_size=out_size,
+                          ratio=ratio, scale=scale),
+        grid=(b, kp // kw),
+        in_specs=[pl.BlockSpec((1, kw, 4), lambda bi, ki: (bi, ki, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, kw, n, h), lambda bi, ki: (bi, ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kw, n, w), lambda bi, ki: (bi, ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, kp, n, h), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((b, kp, n, w), jnp.bfloat16)],
+        interpret=interpret,
+    )(boxes_p)
+
+
+def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref):
     f = feat_ref[0]                                   # [H, W, Cb] bf16
     h, w, cb = f.shape
-    kb = box_ref.shape[1]
-    wy, wx = _tile_weights(box_ref, h, w, n, out_size, ratio, scale)
-    wy = wy.reshape(kb * n, h)                        # [Kb*n, H] bf16
-    # Row interpolation on the MXU; f32 accumulation. The 2x2 sample
-    # average is already folded into the weight matrices (the mean over
-    # sample pairs of wy_p (x) wx_q factorizes into (mean wy) (x)
-    # (mean wx)), so n here is out_size, not out_size*ratio.
+    kb, n = wy_ref.shape[1], wy_ref.shape[2]
+    wy = wy_ref[0].reshape(kb * n, h)                 # [Kb*n, H] bf16
+    # Row interpolation on the MXU; f32 accumulation.
     t = jax.lax.dot_general(
         wy, f.reshape(h, w * cb),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -102,8 +137,8 @@ def _fwd_kernel(feat_ref, box_ref, out_ref, *, n: int, out_size: int,
     # natural [(k p), x, c] layout — einsum('kqx,kpxc') would force a
     # [k, x, p*c] transpose of t inside the kernel, which dominates the
     # kernel's runtime.
-    wxb = jnp.broadcast_to(wx[:, None], (kb, n, n, w)) \
-        .reshape(kb * n, n, w)
+    wxb = jnp.broadcast_to(wx_ref[0].reshape(kb, 1, n, w),
+                           (kb, n, n, w)).reshape(kb * n, n, w)
     o = jax.lax.dot_general(
         wxb, t,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -111,29 +146,27 @@ def _fwd_kernel(feat_ref, box_ref, out_ref, *, n: int, out_size: int,
     out_ref[0] = o.reshape(kb, n, n, cb).astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, box_ref, dfeat_ref, *, n: int, out_size: int,
-                ratio: int, scale: float):
+def _bwd_kernel(g_ref, wy_ref, wx_ref, dfeat_ref):
     kb_idx = pl.program_id(2)
     h = dfeat_ref.shape[1]
     w = dfeat_ref.shape[2]
     cb = dfeat_ref.shape[3]
-    kb = box_ref.shape[1]
-    wy, wx = _tile_weights(box_ref, h, w, n, out_size, ratio, scale)
+    kb, n = wy_ref.shape[1], wy_ref.shape[2]
 
     gp = g_ref[0].astype(jnp.bfloat16)                # [Kb, n, n, Cb]
-    # The pooling average is folded into wy/wx (see _fwd_kernel), so g
-    # back-propagates through the pooled weights directly.
+    # The pooling average is folded into wy/wx, so g back-propagates
+    # through the pooled weights directly.
     # u[k,p,x,c] = sum_q wx[k,q,x] * gp[k,p,q,c], batched over (k, p) so
     # gp is consumed in natural layout (same reasoning as the forward).
-    wxb = jnp.broadcast_to(wx[:, None], (kb, n, n, w)) \
-        .reshape(kb * n, n, w)
+    wxb = jnp.broadcast_to(wx_ref[0].reshape(kb, 1, n, w),
+                           (kb, n, n, w)).reshape(kb * n, n, w)
     u = jax.lax.dot_general(
         wxb, gp.reshape(kb * n, n, cb),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)           # [Kb*n(p), W, Cb]
     u = u.astype(jnp.bfloat16)
     # dfeat[y,x,c] += sum_k sum_p wy[k,p,y] * u[k,p,x,c]
-    wy = wy.reshape(kb * n, h)                        # [Kb*n, H]
+    wy = wy_ref[0].reshape(kb * n, h)                 # [Kb*n, H]
     d = jax.lax.dot_general(
         wy, u.reshape(kb * n, w * cb),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -157,83 +190,99 @@ def _pad_k(x: jnp.ndarray, k: int, kp: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def roi_align_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                      out_size: int = 7, spatial_scale: float = 0.25,
                      sampling_ratio: int = 2,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     kb: int = _KB, cb_fwd: int = _CB_FWD) -> jnp.ndarray:
     """Batched fused RoIAlign: [B,H,W,C], [B,K,4] -> [B,K,s,s,C]."""
-    return _forward(features, boxes, out_size, spatial_scale,
-                    sampling_ratio, interpret)
+    out, _, _ = _forward(features, boxes, out_size, spatial_scale,
+                         sampling_ratio, interpret, kb, cb_fwd)
+    return out
 
 
 def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
-             interpret=False):
+             interpret=False, kb_block=_KB, cb_fwd=_CB_FWD):
     b, h, w, c = features.shape
     k = boxes.shape[1]
-    kp = -(-k // _KB) * _KB
-    cb = _CB_FWD if c % _CB_FWD == 0 else c
+    kb_block = min(kb_block, -(-k // 8) * 8)
+    kp = -(-k // kb_block) * kb_block
+    cb = cb_fwd if c % cb_fwd == 0 else c
     n = out_size + out_size % 2      # Mosaic needs even sublane groups
 
     boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)    # [B, Kp, 4]
+    wy, wx = roi_weights(boxes_p, h, w, n, out_size, sampling_ratio,
+                         spatial_scale, interpret)
     feat = features.astype(jnp.bfloat16)
 
-    grid = (b, c // cb, kp // _KB)
+    grid = (b, c // cb, kp // kb_block)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n=n, out_size=out_size,
-                          ratio=sampling_ratio, scale=spatial_scale),
+        _fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, w, cb), lambda bi, ci, ki: (bi, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, 4), lambda bi, ci, ki: (bi, ki, 0),
+            pl.BlockSpec((1, kb_block, n, h),
+                         lambda bi, ci, ki: (bi, ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb_block, n, w),
+                         lambda bi, ci, ki: (bi, ki, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _KB, n, n, cb),
+            (1, kb_block, n, n, cb),
             lambda bi, ci, ki: (bi, ki, 0, 0, ci),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (b, kp, n, n, c), features.dtype),
         interpret=interpret,
-    )(feat, boxes_p)
-    return out[:, :k, :out_size, :out_size]
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(feat, wy, wx)
+    return out[:, :k, :out_size, :out_size], wy, wx
 
 
 def _fwd_rule(features, boxes, out_size, spatial_scale, sampling_ratio,
-              interpret=False):
-    out = _forward(features, boxes, out_size, spatial_scale,
-                   sampling_ratio, interpret)
-    # `features` is saved only for its (static) shape/dtype; the array
-    # is alive for the conv backward regardless.
-    return out, (features, boxes)
+              interpret=False, kb=_KB, cb_fwd=_CB_FWD):
+    out, wy, wx = _forward(features, boxes, out_size, spatial_scale,
+                           sampling_ratio, interpret, kb, cb_fwd)
+    # The weight tensors (a function of boxes only) are the residuals —
+    # the backward reuses them instead of recomputing per program,
+    # which was ~2 ms of the old backward's 2.4 ms. `features` is saved
+    # only for its (static) shape/dtype.
+    return out, (features, wy, wx)
 
 
-def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
-    (features, boxes) = res
+def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, kb,
+              cb_fwd, res, g):
+    (features, wy, wx) = res
     fdtype = features.dtype
     b, h, w, c = features.shape
-    k = boxes.shape[1]
-    kp = -(-k // _KB) * _KB
+    kp = wy.shape[1]
+    k = g.shape[1]
+    kb_block = min(_KB_BWD, kp)
     cb = _CB_BWD if c % _CB_BWD == 0 else c
 
     n = out_size + out_size % 2
-    boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)
     g = _pad_k(g, k, kp)
     if n != out_size:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, n - out_size),
                         (0, n - out_size), (0, 0)))
 
-    grid = (b, c // cb, kp // _KB)
+    grid = (b, c // cb, kp // kb_block)
     dfeat = pl.pallas_call(
-        functools.partial(_bwd_kernel, n=n, out_size=out_size,
-                          ratio=sampling_ratio, scale=spatial_scale),
+        _bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _KB, n, n, cb),
+            pl.BlockSpec((1, kb_block, n, n, cb),
                          lambda bi, ci, ki: (bi, ki, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _KB, 4), lambda bi, ci, ki: (bi, ki, 0),
+            pl.BlockSpec((1, kb_block, n, h),
+                         lambda bi, ci, ki: (bi, ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb_block, n, w),
+                         lambda bi, ci, ki: (bi, ki, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -241,8 +290,10 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, res, g):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         interpret=interpret,
-    )(g, boxes_p)
-    return dfeat.astype(fdtype), jnp.zeros_like(boxes)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(g, wy, wx)
+    return dfeat.astype(fdtype), jnp.zeros((b, k, 4), jnp.float32)
 
 
 roi_align_pallas.defvjp(_fwd_rule, _bwd_rule)
