@@ -142,7 +142,12 @@ def match_anchors_pallas(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     n = anchors.shape[0]
     b, i = gt_boxes.shape[:2]
 
-    tn = 512 if i <= 256 else 128
+    # Anchor-tile width: as wide as the [Ip, TN] f32 intermediates
+    # allow (~6 live per program) — the kernel is grid-overhead bound
+    # (r3: tn=512 -> 1200 programs -> 1.17 ms/step; tn=2048 -> 304
+    # programs -> ~0.4 ms/step at bs=16, I=128).
+    ip_est = -(-max(i, 1) // 8) * 8
+    tn = max(512, min(4096, (1 << 22) // ip_est))
     an = _pad_to(anchors.astype(jnp.float32), 0, tn)
     np_, t = an.shape[0], an.shape[0] // tn
     # Anchor coords as lane-wide rows [8, Np] (rows 4..7 zero).
@@ -189,6 +194,8 @@ def match_anchors_pallas(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         out_shape=out_shapes if full else out_shapes[0],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(an_p, gt_p)
 
     if not full:
