@@ -1,0 +1,134 @@
+"""Validate a GENUINE torchvision maskrcnn_resnet50_fpn checkpoint
+through the importer before training on it.
+
+The shape-complete translation is already covered by
+tests/test_transfer.py against a fake checkpoint; what a real file can
+still break is key naming/version drift and numerics. Tiers, strongest
+available wins (reference src/train_transfer.py:22 pretrained=True):
+
+  1. torchvision present: run torchvision's backbone+FPN+RPN AND ours
+     on the same 224x304 fixture; assert per-level feature correlation
+     >= 0.99 and RPN objectness correlation >= 0.99 (bf16 vs f32 makes
+     elementwise equality meaningless; correlation is the right gate).
+  2. torch only (this image): import with strict key mapping (any
+     unconsumed checkpoint key raises), then assert our FPN features
+     and RPN objectness are finite with non-degenerate variance.
+  3. Neither: exit 2 (the runbook aborts before wasting a training run).
+
+  python scripts/check_torch_import.py --weights maskrcnn.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def fixture_image(h=224, w=304):
+    """Deterministic high-contrast blobs on gray (tile-shaped so the
+    default TransferConfig resize matches torchvision's 800-min-side
+    resize of the same image)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    img = np.full((h, w, 3), 0.4, np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(5):
+        cy, cx = rng.integers(40, h - 40), rng.integers(40, w - 40)
+        ry, rx = rng.integers(15, 35), rng.integers(15, 35)
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        img[blob] = rng.uniform(0.7, 1.0, 3).astype(np.float32)
+    return img
+
+
+def run_ours(weights: str, img):
+    """Our FPN features (P2..P5) + concatenated RPN objectness."""
+    import jax
+    import jax.numpy as jnp
+
+    from livecell_tpu.models.transfer import (
+        TransferConfig, create_transfer_model)
+
+    cfg = TransferConfig(num_classes=91)
+    model, variables = create_transfer_model(
+        cfg=cfg, rng=jax.random.key(0), pretrained_path=weights)
+
+    def feats_fn(module, im):
+        x = module._transform(im)
+        feats = module._features(x, train=False)
+        objs, _ = module._rpn_outputs(feats)
+        return feats[:4], jnp.concatenate(objs, axis=1)
+
+    feats, obj = jax.jit(lambda v, im: model.apply(
+        v, im[None], method=feats_fn))(variables, jnp.asarray(img))
+    return ([jax.device_get(f[0]).astype("float32") for f in feats],
+            jax.device_get(obj[0]).astype("float32"))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", required=True)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        print("check_torch_import: torch unavailable — cannot validate",
+              file=sys.stderr)
+        raise SystemExit(2)
+
+    img = fixture_image()
+    feats, obj = run_ours(args.weights, img)
+    for i, f in enumerate(feats):
+        assert np.isfinite(f).all(), f"non-finite P{i + 2} features"
+        assert f.std() > 1e-3, f"degenerate P{i + 2} features"
+    assert np.isfinite(obj).all() and obj.std() > 1e-3, \
+        "degenerate RPN objectness"
+
+    try:
+        import torchvision
+    except ImportError:
+        print(f"import OK (tier 2): P2 std {feats[0].std():.3f}, "
+              f"objectness std {obj.std():.3f}, strict key mapping "
+              "passed")
+        return
+
+    # Tier 1: feature-level cross-check against torchvision itself.
+    import torch
+
+    tv = torchvision.models.detection.maskrcnn_resnet50_fpn(
+        weights=None, weights_backbone=None)
+    tv.load_state_dict(torch.load(args.weights, map_location="cpu"))
+    tv.eval()
+    with torch.no_grad():
+        t_img = torch.from_numpy(img.transpose(2, 0, 1))
+        il, _ = tv.transform([t_img])
+        t_feats = tv.backbone(il.tensors)
+        t_obj, _ = tv.rpn.head(list(t_feats.values()))
+
+    names = list(t_feats.keys())[:4]
+    for i, name in enumerate(names):
+        ref = t_feats[name][0].numpy().transpose(1, 2, 0)
+        ours = feats[i]
+        hh, ww = (min(ref.shape[0], ours.shape[0]),
+                  min(ref.shape[1], ours.shape[1]))
+        a = ref[:hh, :ww].ravel()
+        b = ours[:hh, :ww].ravel()
+        corr = float(np.corrcoef(a, b)[0, 1])
+        assert corr >= 0.99, f"P{i + 2} correlation {corr:.4f} < 0.99"
+    ref_obj = np.concatenate(
+        [o[0].numpy().transpose(1, 2, 0).ravel() for o in t_obj])
+    n = min(len(ref_obj), len(obj))
+    corr = float(np.corrcoef(ref_obj[:n], obj[:n])[0, 1])
+    assert corr >= 0.99, f"objectness correlation {corr:.4f} < 0.99"
+    print("import OK (tier 1): all FPN levels + RPN objectness "
+          "correlate >= 0.99 with torchvision")
+
+
+if __name__ == "__main__":
+    main()

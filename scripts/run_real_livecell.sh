@@ -77,6 +77,32 @@ if [[ ! -e models/custom_fixed.ckpt ]]; then
   mv "$CKPT" models/custom_fixed.ckpt
 fi
 
+# 5c. Transfer path with GENUINE torchvision COCO weights (reference
+#     src/train_transfer.py:22 pretrained=True). Checksum-pinned
+#     download; the import is cross-checked against torch-CPU's own
+#     forward on the same fixture before any training starts, so a
+#     torchvision version drift fails loudly here, not as silent AP.
+TV_URL="https://download.pytorch.org/models/maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth"
+if [[ ! -e models/transfer_real.ckpt ]]; then
+  if [[ ! -f models/maskrcnn_resnet50_fpn_coco.pth ]]; then
+    mkdir -p models
+    curl -fL "$TV_URL" -o models/maskrcnn_resnet50_fpn_coco.pth
+  fi
+  # The pin is the official torchvision hash prefix (bf2d0c1e, encoded
+  # in the filename). Verify the prefix; warn-only on mismatch since
+  # upstream re-serializations can change the full digest.
+  GOT=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -c1-8)
+  [[ "$GOT" == "bf2d0c1e" ]] || \
+    echo "WARNING: weight digest $GOT != pinned bf2d0c1e"
+  python "$REPO/scripts/check_torch_import.py" \
+    --weights models/maskrcnn_resnet50_fpn_coco.pth
+  python -m livecell_tpu.train.train_transfer \
+    --data_dir data_split --batch_size 4 \
+    --pretrained models/maskrcnn_resnet50_fpn_coco.pth \
+    --coco_ap --device_data on
+  mv models/maskrcnn_resnet50_two_stage.ckpt models/transfer_real.ckpt
+fi
+
 # 6. Stitch-visualize predictions on test frames
 #    (reference src/visualize.py).
 python -m livecell_tpu.serve.visualize \
