@@ -48,7 +48,7 @@ from livecell_tpu.models.rpn import RPNHead
 from livecell_tpu.ops.boxes import (
     box_iou, clip_boxes, decode_boxes, small_box_mask)
 from livecell_tpu.ops.mask_ops import reproject_mask28, resize_bilinear
-from livecell_tpu.ops.nms import nms_fixed
+from livecell_tpu.ops.nms import nms_fixed, nms_iterated
 from livecell_tpu.ops.proposals import sample_rows
 from livecell_tpu.ops.roi_align import multiscale_roi_align
 
@@ -87,6 +87,20 @@ class TransferConfig:
     rpn_post_nms: int = 1000
     rpn_nms_thresh: float = 0.7
     rpn_min_size: float = 1e-3
+    # Proposal-NMS algorithm: "sweep" solves the greedy recurrence by
+    # iterated [N,N] matrix sweeps (ops/nms.py:nms_iterated — exact at
+    # convergence, ~6 matrix passes); "scan" is the sequential
+    # 1000-iteration fori_loop (nms_fixed). The five per-level scans
+    # were the dominant non-conv cost of the transfer train step.
+    rpn_nms_mode: str = "sweep"
+    # Anchor-GT matcher: "pallas" streams IoU tiles through VMEM
+    # (ops/pallas_match.py) instead of materializing the [B, 217k, I]
+    # matrix in HBM; "xla" is the dense formulation; "auto" = pallas on
+    # TPU hardware. Semantics note: the pallas path takes each GT's
+    # FIRST best anchor for allow_low_quality_matches (torchvision
+    # includes every IoU tie) and applies the reference encoder's
+    # 1.0-px size clamps — both inert for real (>1 px, untied) data.
+    rpn_match_backend: str = "auto"
     rpn_fg_iou: float = 0.7
     rpn_bg_iou: float = 0.3
     rpn_batch: int = 256
@@ -278,7 +292,8 @@ def _level_proposals(cfg: TransferConfig, obj_l, dlt_l, anch_l, img_hw):
     bx = clip_boxes(bx, img_hw)
     val = small_box_mask(bx, cfg.rpn_min_size)
     keep = min(k_l, cfg.rpn_post_nms)
-    kidx, kval = nms_fixed(bx, scores, cfg.rpn_nms_thresh, keep, valid=val)
+    nms = nms_iterated if cfg.rpn_nms_mode == "sweep" else nms_fixed
+    kidx, kval = nms(bx, scores, cfg.rpn_nms_thresh, keep, valid=val)
     return bx[kidx], jnp.where(kval, scores[kidx], -1.0), kval
 
 
@@ -322,6 +337,41 @@ def _rpn_targets(cfg: TransferConfig, anchors, gt_boxes, gt_valid, rng):
                               jnp.zeros_like(bv, jnp.float32)])
     matched = gt_boxes[gidx[fi]]
     reg_t = _encode_weighted(matched, anchors[fi], (1.0, 1.0, 1.0, 1.0))
+    return rows, rval, labels, fi, fv, reg_t
+
+
+def _rpn_targets_from_match(cfg: TransferConfig, anchors, max_iou,
+                            tgt_planar, best_anchor, gt_boxes, gt_valid,
+                            rng):
+    """torchvision RPN matching/sampling from the fused Pallas matcher's
+    per-image outputs (max_iou [A], tgt_planar [4, A] encoded (1,1,1,1),
+    best_anchor [I]) — the [A, I] IoU matrix never exists in HBM.
+
+    Matches _rpn_targets up to the backend nuances documented on
+    TransferConfig.rpn_match_backend (asserted equivalent for untied
+    >1 px data in tests/test_transfer.py)."""
+    fg = max_iou >= cfg.rpn_fg_iou
+    # allow_low_quality_matches: each valid GT's best anchor, provided
+    # the GT overlaps anything at all. The pair IoU of (GT, its best
+    # anchor) is O(I) — computed directly instead of via gt_max.
+    ba = anchors[best_anchor]                                # [I, 4]
+    iw = jnp.clip(jnp.minimum(ba[:, 2], gt_boxes[:, 2]) -
+                  jnp.maximum(ba[:, 0], gt_boxes[:, 0]), 0.0)
+    ih = jnp.clip(jnp.minimum(ba[:, 3], gt_boxes[:, 3]) -
+                  jnp.maximum(ba[:, 1], gt_boxes[:, 1]), 0.0)
+    pair_inter = iw * ih
+    lq_ok = gt_valid & (pair_inter > 0.0)
+    fg = fg | jnp.zeros_like(fg).at[best_anchor].max(lq_ok)
+    bg = (max_iou < cfg.rpn_bg_iou) & ~fg
+
+    kf, kb = jax.random.split(rng)
+    fi, fv = sample_rows(kf, fg, cfg.rpn_pos)
+    bi, bv = sample_rows(kb, bg, cfg.rpn_batch - cfg.rpn_pos)
+    rows = jnp.concatenate([fi, bi])
+    rval = jnp.concatenate([fv, bv])
+    labels = jnp.concatenate([fv.astype(jnp.float32),
+                              jnp.zeros_like(bv, jnp.float32)])
+    reg_t = tgt_planar[:, fi].T                              # [pos, 4]
     return rows, rval, labels, fi, fv, reg_t
 
 
@@ -447,10 +497,31 @@ class TransferMaskRCNN(nn.Module):
         dlt_cat = jnp.concatenate(dlts, axis=1)          # [B, A, 4]
         f32_feats = tuple(f.astype(jnp.float32) for f in feats[:4])
 
-        def per_image(obj_i, dlt_i, feats_i, gtb, gtv, gtm, kr, kb_):
+        backend = c.rpn_match_backend
+        if backend == "auto":
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform in ("tpu", "axon") else "xla"
+        if backend == "pallas":
+            from livecell_tpu.ops.pallas_match import match_anchors_pallas
+
+            # One batched fused-matcher call outside the per-image vmap:
+            # the [B, A~217k, I] IoU tensor stays in VMEM tiles.
+            mx_b, tgt_b, best_b = match_anchors_pallas(
+                anchors_cat, gt_boxes, gt_valid, full=True)
+        else:
+            mx_b = tgt_b = best_b = None
+
+        def per_image(obj_i, dlt_i, feats_i, gtb, gtv, gtm, kr, kb_,
+                      match_i):
             # RPN loss pieces.
-            rows, rval, rlabels, fi, fv, rpn_reg_t = _rpn_targets(
-                c, anchors_cat, gtb, gtv, kr)
+            if match_i is not None:
+                rows, rval, rlabels, fi, fv, rpn_reg_t = \
+                    _rpn_targets_from_match(
+                        c, anchors_cat, match_i[0], match_i[1],
+                        match_i[2], gtb, gtv, kr)
+            else:
+                rows, rval, rlabels, fi, fv, rpn_reg_t = _rpn_targets(
+                    c, anchors_cat, gtb, gtv, kr)
             obj_s = obj_i[rows]
             rpn_reg_p = dlt_i[fi]
 
@@ -478,10 +549,17 @@ class TransferMaskRCNN(nn.Module):
             return (obj_s, rval, rlabels, rpn_reg_p, fv, rpn_reg_t,
                     box_rois, sval, labels, reg_t, mrois, mtargets, mvalid)
 
+        if mx_b is not None:
+            outs = jax.vmap(per_image)(
+                obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
+                gt_mask28, rpn_keys, box_keys, (mx_b, tgt_b, best_b))
+        else:
+            outs = jax.vmap(
+                lambda *a: per_image(*a, None))(
+                obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
+                gt_mask28, rpn_keys, box_keys)
         (obj_s, rval, rlabels, rpn_reg_p, fv, rpn_reg_t,
-         box_rois, sval, labels, reg_t, mrois, mtargets, mvalid) = jax.vmap(
-            per_image)(obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
-                       gt_mask28, rpn_keys, box_keys)
+         box_rois, sval, labels, reg_t, mrois, mtargets, mvalid) = outs
 
         # ---- RPN losses (normalized like torchvision: by sampled count).
         n_sampled = jnp.maximum(rval.sum(), 1.0)

@@ -64,3 +64,38 @@ def test_nms_identical_boxes_keeps_one():
     idx, valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 5)
     got = np.asarray(idx)[np.asarray(valid)]
     assert got.tolist() == [1]
+
+
+def test_nms_iterated_matches_greedy(rng):
+    """nms_iterated converges to the exact greedy set on random dense
+    boxes across score distributions and thresholds."""
+    from livecell_tpu.ops.nms import nms_iterated
+
+    for n, thresh in ((60, 0.4), (200, 0.7), (500, 0.5)):
+        boxes = random_boxes(rng, n, size=120)
+        scores = rng.uniform(size=n).astype(np.float32)
+        want = greedy_nms(boxes, scores, thresh)
+        idx, valid = nms_iterated(jnp.asarray(boxes), jnp.asarray(scores),
+                                  thresh, n)
+        got = np.asarray(idx)[np.asarray(valid)]
+        assert sorted(got.tolist()) == sorted(want), (n, thresh)
+        # Descending-score pick order like nms_fixed.
+        assert (np.diff(scores[got]) <= 1e-7).all()
+
+
+def test_nms_iterated_validity_and_truncation(rng):
+    from livecell_tpu.ops.nms import nms_iterated
+
+    boxes = random_boxes(rng, 80, size=100)
+    scores = rng.uniform(size=80).astype(np.float32)
+    valid = rng.uniform(size=80) > 0.3
+    want = [i for i in greedy_nms(boxes[valid], scores[valid], 0.4)]
+    want_ids = np.flatnonzero(valid)[want]
+    idx, kval = nms_iterated(jnp.asarray(boxes), jnp.asarray(scores),
+                             0.4, 80, valid=jnp.asarray(valid))
+    got = np.asarray(idx)[np.asarray(kval)]
+    assert sorted(got.tolist()) == sorted(want_ids.tolist())
+
+    idx, kval = nms_iterated(jnp.asarray(boxes), jnp.asarray(scores),
+                             0.4, 5)
+    assert int(np.asarray(kval).sum()) <= 5

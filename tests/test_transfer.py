@@ -199,3 +199,48 @@ def test_torchvision_import_full_state_dict(tmp_path, tmodel):
     out = jax.tree.map(jnp.asarray, out)
     det = model.apply(out, images, train=False)
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_rpn_targets_pallas_matches_xla():
+    """_rpn_targets_from_match (fused Pallas matcher outputs) produces
+    the same fg/bg sampling pool and regression targets as the dense
+    XLA _rpn_targets for untied >1px data."""
+    from livecell_tpu.models.transfer import (
+        _rpn_targets, _rpn_targets_from_match)
+    from livecell_tpu.ops.pallas_match import match_anchors_pallas
+
+    rng = np.random.default_rng(3)
+    a = 512
+    anchors = np.zeros((a, 4), np.float32)
+    x1 = rng.uniform(0, 150, a); y1 = rng.uniform(0, 90, a)
+    anchors[:, 0], anchors[:, 1] = x1, y1
+    anchors[:, 2] = x1 + rng.uniform(8, 40, a)
+    anchors[:, 3] = y1 + rng.uniform(8, 40, a)
+    i = 8
+    gtb = np.zeros((1, i, 4), np.float32)
+    gtv = np.zeros((1, i), bool)
+    for k in range(5):
+        gx, gy = rng.uniform(0, 140), rng.uniform(0, 80)
+        gtb[0, k] = [gx, gy, gx + rng.uniform(6, 35),
+                     gy + rng.uniform(6, 35)]
+        gtv[0, k] = True
+
+    cfg = TINY
+    key = jax.random.key(5)
+    anchors_j = jnp.asarray(anchors)
+    mx, tgt, best = match_anchors_pallas(
+        anchors_j, jnp.asarray(gtb), jnp.asarray(gtv), full=True,
+        interpret=True)
+
+    rows_x, rval_x, lab_x, fi_x, fv_x, reg_x = _rpn_targets(
+        cfg, anchors_j, jnp.asarray(gtb[0]), jnp.asarray(gtv[0]), key)
+    rows_p, rval_p, lab_p, fi_p, fv_p, reg_p = _rpn_targets_from_match(
+        cfg, anchors_j, mx[0], tgt[0], best[0],
+        jnp.asarray(gtb[0]), jnp.asarray(gtv[0]), key)
+
+    # Same PRNG + same fg/bg pools => identical sampling.
+    np.testing.assert_array_equal(np.asarray(rows_x), np.asarray(rows_p))
+    np.testing.assert_array_equal(np.asarray(rval_x), np.asarray(rval_p))
+    np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_p))
+    np.testing.assert_allclose(np.asarray(reg_x), np.asarray(reg_p),
+                               rtol=1e-5, atol=1e-5)
