@@ -93,6 +93,12 @@ class TransferConfig:
     # 1000-iteration fori_loop (nms_fixed). The five per-level scans
     # were the dominant non-conv cost of the transfer train step.
     rpn_nms_mode: str = "sweep"
+    # MultiScaleRoIAlign backend: "pallas" = the fused windowed kernel
+    # (ops/pallas_ms_roi.py — per-ROI [win, win, C] dynamic-slice patch
+    # + two GEMMs, replacing ~1.6M scattered corner-gathers per image);
+    # "xla" = the flat-buffer gather formulation; "auto" = pallas on
+    # TPU hardware.
+    roi_backend: str = "auto"
     # Anchor-GT matcher: "pallas" streams IoU tiles through VMEM
     # (ops/pallas_match.py) instead of materializing the [B, 217k, I]
     # matrix in HBM; "xla" is the dense formulation; "auto" = pallas on
@@ -468,6 +474,20 @@ class TransferMaskRCNN(nn.Module):
         dlts = [d.reshape(b, -1, 4).astype(jnp.float32) for d in box_out]
         return objs, dlts
 
+    def _ms_roi(self, feats, boxes, out_size):
+        """Batched MultiScaleRoIAlign via the configured backend.
+        feats: 4 level maps [B, H_l, W_l, C]; boxes [B, K, 4]."""
+        backend = self.cfg.roi_backend
+        if backend == "auto":
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform in ("tpu", "axon") else "xla"
+        if backend == "pallas":
+            from livecell_tpu.ops.pallas_ms_roi import ms_roi_align_pallas
+
+            return ms_roi_align_pallas(tuple(feats), boxes, out_size)
+        return jax.vmap(lambda f, bx: multiscale_roi_align(
+            tuple(f), bx, out_size))(tuple(feats), boxes)
+
     def _scaled_gt(self, targets):
         sy, sx = self._scale
         s = jnp.asarray([sx, sy, sx, sy], jnp.float32)
@@ -538,16 +558,15 @@ class TransferMaskRCNN(nn.Module):
             sampled, sval, labels, matched_gt, reg_t, fgv = _box_targets(
                 c, pboxes, pvalid, gtb, gtv, kb_)
 
-            box_rois = multiscale_roi_align(feats_i, sampled, c.roi_size)
-
-            # Mask branch on the fg slots.
+            # Mask targets for the fg slots; ROI pooling happens
+            # batched OUTSIDE the vmap so the Pallas backend sees one
+            # [B, K, 4] call.
             mb = sampled[:c.mask_slots]
-            mrois = multiscale_roi_align(feats_i, mb, c.mask_roi_size)
             mgt_idx = matched_gt[:c.mask_slots]
             mtargets = reproject_mask28(gtm[mgt_idx], gtb[mgt_idx], mb)
             mvalid = fgv[:c.mask_slots]
             return (obj_s, rval, rlabels, rpn_reg_p, fv, rpn_reg_t,
-                    box_rois, sval, labels, reg_t, mrois, mtargets, mvalid)
+                    sampled, sval, labels, reg_t, mb, mtargets, mvalid)
 
         if mx_b is not None:
             outs = jax.vmap(per_image)(
@@ -559,7 +578,9 @@ class TransferMaskRCNN(nn.Module):
                 obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
                 gt_mask28, rpn_keys, box_keys)
         (obj_s, rval, rlabels, rpn_reg_p, fv, rpn_reg_t,
-         box_rois, sval, labels, reg_t, mrois, mtargets, mvalid) = outs
+         sampled_b, sval, labels, reg_t, mb_b, mtargets, mvalid) = outs
+        box_rois = self._ms_roi(f32_feats, sampled_b, c.roi_size)
+        mrois = self._ms_roi(f32_feats, mb_b, c.mask_roi_size)
 
         # ---- RPN losses (normalized like torchvision: by sampled count).
         n_sampled = jnp.maximum(rval.sum(), 1.0)
@@ -615,15 +636,13 @@ class TransferMaskRCNN(nn.Module):
         dlt_cat = jnp.concatenate(dlts, axis=1)
         splits = np.cumsum([a.shape[0] for a in anchors])[:-1]
 
-        def proposals_rois(obj_i, dlt_i, feats_i):
-            pboxes, pvalid = _image_proposals(
+        def proposals_fn(obj_i, dlt_i):
+            return _image_proposals(
                 c, jnp.split(obj_i, splits), jnp.split(dlt_i, splits),
                 anchors, img_hw)
-            rois = multiscale_roi_align(feats_i, pboxes, c.roi_size)
-            return pboxes, pvalid, rois
 
-        pboxes, pvalid, rois = jax.vmap(proposals_rois)(
-            obj_cat, dlt_cat, f32_feats)
+        pboxes, pvalid = jax.vmap(proposals_fn)(obj_cat, dlt_cat)
+        rois = self._ms_roi(f32_feats, pboxes, c.roi_size)
 
         flat = rois.reshape((-1,) + rois.shape[2:])
         h = self.box_head(flat)
@@ -638,16 +657,16 @@ class TransferMaskRCNN(nn.Module):
                 _decode_weighted(deltas, boxes, c.box_reg_weights), img_hw)
             keep = (sc > c.score_thresh) & pv & \
                 small_box_mask(refined, c.det_min_size)
-            idx, kval = nms_fixed(refined, sc, c.det_nms_thresh,
-                                  c.max_detections, valid=keep)
+            nms = nms_iterated if c.rpn_nms_mode == "sweep" else nms_fixed
+            idx, kval = nms(refined, sc, c.det_nms_thresh,
+                            c.max_detections, valid=keep)
             return refined[idx], sc[idx], kval
 
         det_boxes, det_scores, det_valid = jax.vmap(postprocess)(
             pboxes, scores, pvalid, d1)
 
         # Mask branch on the final boxes (torchvision RoIHeads eval path).
-        mrois = jax.vmap(lambda f, bx: multiscale_roi_align(
-            f, bx, c.mask_roi_size))(f32_feats, det_boxes)
+        mrois = self._ms_roi(f32_feats, det_boxes, c.mask_roi_size)
         mlogits = self.mask_head(mrois.reshape((-1,) + mrois.shape[2:]))
         mask_probs = jax.nn.sigmoid(
             mlogits[..., 1].reshape(b, c.max_detections,

@@ -244,3 +244,31 @@ def test_rpn_targets_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_p))
     np.testing.assert_allclose(np.asarray(reg_x), np.asarray(reg_p),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_transfer_losses_roi_backend_parity(tmodel, monkeypatch):
+    """train_forward losses agree between the XLA gather align and the
+    fused Pallas multiscale align (interpret mode)."""
+    import dataclasses
+
+    import livecell_tpu.ops.pallas_ms_roi as pms
+
+    model, variables = tmodel
+    images, targets = synthetic()
+    base = model.apply(variables, images, targets, train=True,
+                       rngs={"sampling": jax.random.key(1)})
+
+    orig = pms.ms_roi_align_pallas
+    monkeypatch.setattr(
+        pms, "ms_roi_align_pallas",
+        lambda feats, boxes, out_size=7, ratio=2: orig(
+            feats, boxes, out_size, ratio, True))
+    from livecell_tpu.models.transfer import TransferMaskRCNN
+    pmodel = TransferMaskRCNN(dataclasses.replace(
+        TINY, roi_backend="pallas"))
+    got = pmodel.apply(variables, images, targets, train=True,
+                       rngs={"sampling": jax.random.key(1)})
+    for k in base:
+        np.testing.assert_allclose(float(got[k]), float(base[k]),
+                                   rtol=5e-2, atol=5e-2), k
