@@ -50,11 +50,12 @@ def main():
     # (kb_fwd, cb_fwd, kb_bwd, cb_bwd) under the r3 split-weights
     # structure (weights kernel + GEMM kernels sharing them via VJP
     # residuals).
-    configs = [(16, 256, 16, 128),      # r2 defaults
-               (32, 256, 32, 256),
-               (64, 256, 32, 256),
+    configs = [(64, 256, 32, 256),      # r3 defaults
                (64, 256, 64, 256),
-               (64, 256, 16, 256)]
+               (64, 256, 128, 256),
+               (128, 256, 32, 256),
+               (128, 256, 64, 256),
+               (128, 256, 128, 256)]    # bf16 t admits KB=128 in VMEM
     for k in (128, 64):
         boxes = make_boxes(k)
         for kb, cbf, kbb, cbb in configs:
