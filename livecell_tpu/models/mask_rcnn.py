@@ -271,7 +271,17 @@ class CustomMaskRCNN(nn.Module):
                                      c.num_classes)
         if use_subset:
             orders, mtargets, mweight = msel
-            mrois = jax.vmap(lambda r, o: r[o])(rois, orders)
+            # Row selection as a one-hot MXU contraction: the dynamic
+            # row gather of [B, m, 7, 7, C] ran at ~0.43 ms/step on the
+            # r3 trace (vmap gather + layout copy) while the equivalent
+            # [m, K] x [K, s*s*C] batched matmul is ~3 GFLOP at MXU
+            # rate. Exact: one-hot rows select in any float dtype.
+            onehot = jax.nn.one_hot(orders, rois.shape[1],
+                                    dtype=rois.dtype)        # [B, m, K]
+            mrois = jax.lax.dot_general(
+                onehot, rois.reshape(rois.shape[:2] + (-1,)),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            ).reshape(onehot.shape[:2] + rois.shape[2:])
             mask_logits = self.mask_head(
                 mrois.reshape((-1,) + mrois.shape[2:]))
             losses["loss_mask"] = detector.mask_loss_on(
