@@ -209,6 +209,13 @@ def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
              interpret=False, kb_block=_KB, cb_fwd=_CB_FWD):
     b, h, w, c = features.shape
     k = boxes.shape[1]
+    n_pad = out_size + out_size % 2
+    # The f32 GEMM intermediate [KB*n, W*CB] dominates VMEM; shrink the
+    # ROI block for wide feature maps (e.g. the transfer path's 272-wide
+    # P2 level, where KB=64 would need a 142 MB intermediate).
+    while (kb_block > 8 and
+           kb_block * n_pad * w * min(cb_fwd, c) * 4 > 40 * 1024 * 1024):
+        kb_block //= 2
     kb_block = min(kb_block, -(-k // 8) * 8)
     kp = -(-k // kb_block) * kb_block
     cb = cb_fwd if c % cb_fwd == 0 else c
@@ -264,8 +271,20 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, kb,
     b, h, w, c = features.shape
     kp = wy.shape[1]
     k = g.shape[1]
-    kb_block = min(_KB_BWD, kp)
+    n_pad = out_size + out_size % 2
+    # Budget the resident f32 buffers for wide maps: the dfeat block
+    # [H, W, CB] halves its channel block when large, and the GEMM
+    # intermediate [KB*n, W, CB] shrinks the ROI block (transfer P2 is
+    # 200x272 — the custom-path defaults would need >280 MB).
     cb = _CB_BWD if c % _CB_BWD == 0 else c
+    if h * w * cb * 4 > 32 * 1024 * 1024 and c % 128 == 0:
+        cb = 128
+    kb_block = 8
+    for cand in (128, 64, 32, 16, 8):
+        if (cand <= kp and kp % cand == 0 and
+                cand * n_pad * w * cb * 4 <= 32 * 1024 * 1024):
+            kb_block = cand
+            break
 
     n = out_size + out_size % 2
     g = _pad_k(g, k, kp)

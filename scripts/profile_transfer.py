@@ -21,6 +21,8 @@ def main():
     parser.add_argument("--bs", type=int, default=4)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--trace", type=str, default="outputs/xprof_transfer")
+    parser.add_argument("--roi_backend", default="auto",
+                        choices=["auto", "pallas", "xla"])
     args = parser.parse_args()
 
     import jax
@@ -36,9 +38,16 @@ def main():
     from livecell_tpu.utils.profiling import trace
 
     enable_compilation_cache()
-    model, variables = create_transfer_model(rng=jax.random.key(0))
+    from livecell_tpu.models.transfer import TransferConfig
+    model, variables = create_transfer_model(
+        rng=jax.random.key(0),
+        cfg=TransferConfig(roi_backend=args.roi_backend))
     c = model.cfg
-    tx = optax.sgd(5e-3, momentum=0.9)
+    # From random init (no pretrained weights reachable here) the
+    # transfer step needs gradient clipping to stay finite — same as
+    # the trainer's --clip_grad_norm guidance.
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(5e-3, momentum=0.9))
     state = create_train_state(model, variables, tx)
     step_fn = make_train_step(model, tx, donate=False)
 

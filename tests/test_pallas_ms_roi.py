@@ -71,3 +71,26 @@ def test_ms_roi_backward_matches_xla(rng):
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale,
                                    rtol=0, atol=4e-2)
+
+
+def test_ms_roi_elongated_boxes(rng):
+    """Thin-but-long ROIs: the LevelMapper bounds sqrt(area), not each
+    axis, so a low-level ROI's long axis can span most of the canvas.
+    The r3 windowed kernel design missed taps outside its fixed square
+    window for exactly these (8/64 random ROIs wrong on hardware);
+    the per-level dense composition must be exact."""
+    feats = make_pyramid(rng, b=1, h2=40, w2=64)
+    img_h, img_w = 160, 256
+    boxes = jnp.asarray(np.array([[
+        [4.0, 10.0, 250.0, 18.0],     # 246x8 sliver, full-width
+        [30.0, 2.0, 38.0, 155.0],     # 8x153 vertical sliver
+        [0.0, 0.0, 256.0, 160.0],     # whole canvas
+        [100.0, 50.0, 140.0, 90.0],   # square control
+    ]], np.float32))
+    got = ms_roi_align_pallas(tuple(feats), boxes, 7, 2, True)
+    want = jax.vmap(
+        lambda fs, bx: multiscale_roi_align(fs, bx, 7))(
+        tuple(feats), boxes)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)
