@@ -23,6 +23,12 @@ def main():
     parser.add_argument("--trace", type=str, default="outputs/xprof_transfer")
     parser.add_argument("--roi_backend", default="auto",
                         choices=["auto", "pallas", "xla"])
+    parser.add_argument("--frozen_bn", action="store_true",
+                        help="torchvision FrozenBatchNorm2d semantics "
+                             "(the reference's pretrained backbone)")
+    parser.add_argument("--scan", action="store_true",
+                        help="time the one-dispatch lax.scan program "
+                             "(the --device_data production shape)")
     args = parser.parse_args()
 
     import jax
@@ -41,7 +47,8 @@ def main():
     from livecell_tpu.models.transfer import TransferConfig
     model, variables = create_transfer_model(
         rng=jax.random.key(0),
-        cfg=TransferConfig(roi_backend=args.roi_backend))
+        cfg=TransferConfig(roi_backend=args.roi_backend,
+                           frozen_bn=args.frozen_bn))
     c = model.cfg
     # From random init (no pretrained weights reachable here) the
     # transfer step needs gradient clipping to stay finite — same as
@@ -75,16 +82,35 @@ def main():
     }
 
     key = jax.random.key(1)
-    state, metrics = step_fn(state, images, targets, key)
-    float(metrics["total_loss"])  # compile + drain
+    if args.scan:
+        # The production --device_data shape: one dispatch scans all
+        # steps (r3: the per-step dispatch gap is ~50 ms/step on this
+        # 200 ms program through the tunnel).
+        body = make_step_fn(model, tx)
 
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(args.steps):
+        @jax.jit
+        def epoch_fn(st, keys):
+            return jax.lax.scan(
+                lambda s, kk: body(s, images, targets, kk), st, keys)
+
+        state, metrics = epoch_fn(state, jax.random.split(key, args.steps))
+        float(metrics["total_loss"][-1])  # compile + drain
         key, sub = jax.random.split(key)
-        st, metrics = step_fn(st, images, targets, sub)
-    final = float(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+        t0 = time.perf_counter()
+        st, metrics = epoch_fn(state, jax.random.split(sub, args.steps))
+        final = float(metrics["total_loss"][-1])
+        dt = (time.perf_counter() - t0) / args.steps
+    else:
+        state, metrics = step_fn(state, images, targets, key)
+        float(metrics["total_loss"])  # compile + drain
+
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(args.steps):
+            key, sub = jax.random.split(key)
+            st, metrics = step_fn(st, images, targets, sub)
+        final = float(metrics["total_loss"])
+        dt = (time.perf_counter() - t0) / args.steps
     assert np.isfinite(final)
 
     flops = None
