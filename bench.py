@@ -251,7 +251,10 @@ def main():
         fixed_cfg = ModelConfig(heads_all_images=True,
                                 decode_proposals=True,
                                 mask_train_samples=64)
-        fixed_img_per_sec, fixed_mfu, _ = measure_step(fixed_cfg, 16)
+        # bs=32 measured faster per image than 16 (r3: 733.5 vs 717.6
+        # img/s) — fixed overheads amortize across the bigger batch.
+        fixed_bs = int(os.environ.get("LIVECELL_BENCH_FIXED_BS", "32"))
+        fixed_img_per_sec, fixed_mfu, _ = measure_step(fixed_cfg, fixed_bs)
         fixed_mode_error = None
     except Exception as e:
         # Surface a flagship-config regression instead of dropping it.
@@ -287,7 +290,7 @@ def main():
     if fixed_img_per_sec is not None:
         record["fixed_mode_img_per_sec"] = round(fixed_img_per_sec, 2)
         record["fixed_mode_mfu"] = fixed_mfu
-        record["fixed_mode_batch_size"] = 16
+        record["fixed_mode_batch_size"] = fixed_bs
     elif fixed_mode_error is not None:
         record["fixed_mode_error"] = fixed_mode_error
     print(json.dumps(record))

@@ -279,10 +279,18 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, kb,
     cb = _CB_BWD if c % _CB_BWD == 0 else c
     if h * w * cb * 4 > 32 * 1024 * 1024 and c % 128 == 0:
         cb = 128
+    # Largest power-of-two ROI block (dividing Kp) whose resident
+    # buffers — f32 GEMM intermediate + f32 dfeat block + bf16 g
+    # block — fit the scoped-VMEM budget. The custom path (56x76x256)
+    # keeps the swept kb=128; the transfer P2 level (200x272) drops
+    # to 32.
     kb_block = 8
+    dfeat_bytes = h * w * cb * 4
     for cand in (128, 64, 32, 16, 8):
+        resident = (cand * n_pad * w * cb * 4 + dfeat_bytes +
+                    cand * n_pad * n_pad * cb * 2)
         if (cand <= kp and kp % cand == 0 and
-                cand * n_pad * w * cb * 4 <= 32 * 1024 * 1024):
+                resident <= 90 * 1024 * 1024):
             kb_block = cand
             break
 
