@@ -93,11 +93,12 @@ class TransferConfig:
     # 1000-iteration fori_loop (nms_fixed). The five per-level scans
     # were the dominant non-conv cost of the transfer train step.
     rpn_nms_mode: str = "sweep"
-    # MultiScaleRoIAlign backend: "pallas" = the fused windowed kernel
-    # (ops/pallas_ms_roi.py — per-ROI [win, win, C] dynamic-slice patch
-    # + two GEMMs, replacing ~1.6M scattered corner-gathers per image);
-    # "xla" = the flat-buffer gather formulation; "auto" = pallas on
-    # TPU hardware.
+    # MultiScaleRoIAlign backend: "pallas" = per-level dense
+    # composition on the fused single-level kernel (ops/pallas_ms_roi
+    # .py — every ROI pools from every level, lane-wide level select;
+    # replaces ~1.6M scattered corner-gathers per image, 6.5x the
+    # train step on chip); "xla" = the flat-buffer gather formulation;
+    # "auto" = pallas on TPU hardware.
     roi_backend: str = "auto"
     # Anchor-GT matcher: "pallas" streams IoU tiles through VMEM
     # (ops/pallas_match.py) instead of materializing the [B, 217k, I]
