@@ -278,9 +278,13 @@ class CustomMaskRCNN(nn.Module):
             # rate. Exact: one-hot rows select in any float dtype.
             onehot = jax.nn.one_hot(orders, rois.shape[1],
                                     dtype=rois.dtype)        # [B, m, K]
+            # precision="highest": the default truncates dot inputs to
+            # bf16 (even on CPU in this build), which would round the
+            # f32 einsum-backend ROIs — selection must be exact.
             mrois = jax.lax.dot_general(
                 onehot, rois.reshape(rois.shape[:2] + (-1,)),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
             ).reshape(onehot.shape[:2] + rois.shape[2:])
             mask_logits = self.mask_head(
                 mrois.reshape((-1,) + mrois.shape[2:]))

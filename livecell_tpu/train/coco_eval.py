@@ -134,8 +134,14 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
     from livecell_tpu.ops.boxes import box_iou
     from livecell_tpu.ops.mask_ops import paste_masks
 
-    th, tw = dataset.tile_hw
     mcfg = dataset.cfg
+    # Evaluate in the region both frames share: detections live on the
+    # model-input grid (image_height/width, to which gather pads OR
+    # crops the stored tiles), GT annotations on the stored-tile grid.
+    # Equal for the production configs (tile <= padded input); a model
+    # input smaller than the tile (reduced-scale tests) crops the GT.
+    th = min(dataset.tile_hw[0], mcfg.image_height)
+    tw = min(dataset.tile_hw[1], mcfg.image_width)
     coco = CocoIndex(dataset.ann_file) if iou_type == "segm" else None
 
     @jax.jit

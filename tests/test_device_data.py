@@ -114,9 +114,13 @@ def test_indexed_step_on_mesh_matches_single(packed):
     mm = jax.tree.map(float, mm)
     # Same tolerance as test_parallel.py's sharded-vs-single check:
     # cross-device reduction reassociation noise is amplified by the
-    # deep-stage BN normalizations.
+    # deep-stage BN normalizations. grad_norm sums squares over every
+    # bf16 gradient leaf — since the r3 bf16-native matcher/ROI feed it
+    # drifts ~3% between compilations while the losses stay within 2%,
+    # so it gets its own gate.
     for k in m0:
-        np.testing.assert_allclose(mm[k], m0[k], rtol=2e-2, atol=2e-3,
+        rtol = 6e-2 if k == "grad_norm" else 2e-2
+        np.testing.assert_allclose(mm[k], m0[k], rtol=rtol, atol=2e-3,
                                    err_msg=k)
     # Adam's first update is ~+-lr per weight; reduction-order noise can
     # flip the sign where the gradient is ~0, so two implementations of
@@ -199,11 +203,17 @@ def test_epoch_scan_matches_stepwise(packed):
     for i in range(3):
         s2, m = step(s2, jnp.asarray(idx_mat[i]), keys[i])
         per.append(float(m["total_loss"]))
-    # Step 0 is bit-identical; later steps accumulate reduction-order
-    # noise between the scanned and standalone compilations (amplified
-    # by BN), same as the sharded-vs-single tolerance above.
+    # Step 0 is bit-identical — that is the real-bug detector (a wrong
+    # gather/key plumbing breaks it outright). Later steps diverge
+    # between the scanned and standalone compilations: bf16
+    # reduction-order noise moves the weights, and the proposal top-k /
+    # sampling is DISCRETE in the weights, so one flipped selection
+    # jumps the loss by ~1% (observed: 0 -> 5e-5 -> 1.2% over 3 steps
+    # after the r3 bf16-native matcher).
+    np.testing.assert_allclose(stacked["total_loss"][0], per[0],
+                               rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(stacked["total_loss"]), per,
-                               rtol=2e-3, atol=1e-4)
+                               rtol=3e-2, atol=1e-4)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      jax.device_get(s1.params), jax.device_get(s2.params))
     # Adam sign noise near zero-gradient weights diverges by up to ~2*lr
