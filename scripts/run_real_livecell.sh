@@ -86,21 +86,31 @@ TV_URL="https://download.pytorch.org/models/maskrcnn_resnet50_fpn_coco-bf2d0c1e.
 if [[ ! -e models/transfer_real.ckpt ]]; then
   if [[ ! -f models/maskrcnn_resnet50_fpn_coco.pth ]]; then
     mkdir -p models
-    curl -fL "$TV_URL" -o models/maskrcnn_resnet50_fpn_coco.pth
+    # Non-fatal: on a zero-egress host the rest of the pipeline (and
+    # the stitch-visualization below) is already complete; the transfer
+    # stage picks up on the next run once the weights are reachable.
+    if ! curl -fL "$TV_URL" -o models/maskrcnn_resnet50_fpn_coco.pth; then
+      rm -f models/maskrcnn_resnet50_fpn_coco.pth
+      echo "WARNING: torchvision weights unreachable — skipping the" \
+           "pretrained transfer stage (re-run with network, or drop a" \
+           "local .pth at models/maskrcnn_resnet50_fpn_coco.pth)"
+    fi
   fi
-  # The pin is the official torchvision hash prefix (bf2d0c1e, encoded
-  # in the filename). Verify the prefix; warn-only on mismatch since
-  # upstream re-serializations can change the full digest.
-  GOT=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -c1-8)
-  [[ "$GOT" == "bf2d0c1e" ]] || \
-    echo "WARNING: weight digest $GOT != pinned bf2d0c1e"
-  python "$REPO/scripts/check_torch_import.py" \
-    --weights models/maskrcnn_resnet50_fpn_coco.pth
-  python -m livecell_tpu.train.train_transfer \
-    --data_dir data_split --batch_size 4 \
-    --pretrained models/maskrcnn_resnet50_fpn_coco.pth \
-    --coco_ap --device_data on
-  mv models/maskrcnn_resnet50_two_stage.ckpt models/transfer_real.ckpt
+  if [[ -f models/maskrcnn_resnet50_fpn_coco.pth ]]; then
+    # The pin is the official torchvision hash prefix (bf2d0c1e, encoded
+    # in the filename). Verify the prefix; warn-only on mismatch since
+    # upstream re-serializations can change the full digest.
+    GOT=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -c1-8)
+    [[ "$GOT" == "bf2d0c1e" ]] || \
+      echo "WARNING: weight digest $GOT != pinned bf2d0c1e"
+    python "$REPO/scripts/check_torch_import.py" \
+      --weights models/maskrcnn_resnet50_fpn_coco.pth
+    python -m livecell_tpu.train.train_transfer \
+      --data_dir data_split --batch_size 4 \
+      --pretrained models/maskrcnn_resnet50_fpn_coco.pth \
+      --coco_ap --device_data on
+    mv models/maskrcnn_resnet50_two_stage.ckpt models/transfer_real.ckpt
+  fi
 fi
 
 # 6. Stitch-visualize predictions on test frames
