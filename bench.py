@@ -227,6 +227,79 @@ def measure_step(cfg, batch_size: int, steps: int = MEASURE_STEPS,
     return img_per_sec, mfu, flops
 
 
+TRANSFER_BATCH_SIZE = int(os.environ.get("LIVECELL_BENCH_TRANSFER_BS", "4"))
+
+
+def measure_transfer_step(steps: int = 10):
+    """Transfer-path throughput on the epoch-scan dispatch shape
+    (reference src/train_transfer.py:397-479 hot loop): img/s + MFU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from livecell_tpu.models.transfer import (TransferConfig,
+                                              create_transfer_model)
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_step_fn)
+    from livecell_tpu.utils.flops import count_flops
+
+    model, variables = create_transfer_model(
+        rng=jax.random.key(0), cfg=TransferConfig())
+    c = model.cfg
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(5e-3, momentum=0.9))
+    state = create_train_state(model, variables, tx)
+
+    rng = np.random.default_rng(0)
+    b, i = TRANSFER_BATCH_SIZE, c.max_instances
+    th, tw = c.tile_height, c.tile_width
+    images = jnp.asarray(
+        (rng.uniform(size=(b, th, tw, 3)) * 255).astype(np.uint8))
+    n_inst = 40
+    boxes = np.zeros((b, i, 4), np.float32)
+    for bi in range(b):
+        x1 = rng.uniform(0, tw - 60, n_inst)
+        y1 = rng.uniform(0, th - 60, n_inst)
+        bw = rng.uniform(12, 55, n_inst)
+        bh = rng.uniform(12, 55, n_inst)
+        boxes[bi, :n_inst] = np.stack([x1, y1, x1 + bw, y1 + bh], axis=1)
+    valid = np.zeros((b, i), bool)
+    valid[:, :n_inst] = True
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(valid.astype(np.int32)),
+        "mask28": jnp.asarray(
+            (rng.uniform(size=(b, i, 28, 28)) > 0.5).astype(np.uint8) * 255),
+        "valid": jnp.asarray(valid),
+    }
+
+    body = make_step_fn(model, tx)
+
+    @jax.jit
+    def epoch_fn(st, keys):
+        return jax.lax.scan(
+            lambda s, kk: body(s, images, targets, kk), st, keys)
+
+    key = jax.random.key(1)
+    state, metrics = epoch_fn(state, jax.random.split(key, steps))
+    float(metrics["total_loss"][-1])  # compile + drain
+    key, sub = jax.random.split(key)
+    t0 = time.perf_counter()
+    state, metrics = epoch_fn(state, jax.random.split(sub, steps))
+    final = float(metrics["total_loss"][-1])
+    dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(final)
+
+    mfu = None
+    try:
+        flops = count_flops(body, state, images, targets, key)
+        mfu = round(flops / dt / V5E_PEAK_BF16_FLOPS, 4)
+    except Exception:
+        pass
+    return TRANSFER_BATCH_SIZE / dt, mfu
+
+
 def main():
     import jax
 
@@ -263,6 +336,18 @@ def main():
         fixed_img_per_sec = fixed_mfu = None
         fixed_mode_error = f"{type(e).__name__}: {e}"
 
+    # Secondary: the transfer train step (torchvision-parity R50-FPN on
+    # the 800x1088 canvas, reference src/train_transfer.py:397-479) on
+    # the same epoch-scan dispatch shape.
+    try:
+        transfer_img_per_sec, transfer_mfu = measure_transfer_step()
+        transfer_error = None
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        transfer_img_per_sec = transfer_mfu = None
+        transfer_error = f"{type(e).__name__}: {e}"
+
     try:
         baseline = measure_torch_cpu_baseline()
     except Exception as e:  # torch missing etc. — never break the bench
@@ -293,6 +378,12 @@ def main():
         record["fixed_mode_batch_size"] = fixed_bs
     elif fixed_mode_error is not None:
         record["fixed_mode_error"] = fixed_mode_error
+    if transfer_img_per_sec is not None:
+        record["transfer_img_per_sec"] = round(transfer_img_per_sec, 2)
+        record["transfer_mfu"] = transfer_mfu
+        record["transfer_batch_size"] = TRANSFER_BATCH_SIZE
+    elif transfer_error is not None:
+        record["transfer_error"] = transfer_error
     print(json.dumps(record))
 
 

@@ -232,6 +232,78 @@ class ModelConfig:
         return self.feature_height * self.feature_width * self.num_anchors_per_cell
 
 
+def model_config_to_dict(mcfg: "ModelConfig") -> dict:
+    """JSON-serializable dict of a ModelConfig (tuples become lists)."""
+    d = dataclasses.asdict(mcfg)
+    return {k: list(v) if isinstance(v, tuple) else v for k, v in d.items()}
+
+
+def model_config_from_dict(d: dict) -> "ModelConfig":
+    """Inverse of model_config_to_dict; ignores unknown keys so old
+    checkpoints stay loadable as fields evolve."""
+    fields = {f.name: f for f in dataclasses.fields(ModelConfig)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        if isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    return ModelConfig(**kw)
+
+
+def add_train_shape_flags(parser) -> None:
+    """Training-side dense-scene knobs (anchor geometry + budgets).
+
+    The reference hard-codes anchor sizes 32/64/128 at stride 4
+    (anchor_generator.py:8) and budgets top-500/sample-128
+    (proposal_utils.py:12-14) / RPN 128+256 (rpn.py:80-99). LIVECell
+    cells have ~20 px median diameter and ~59 instances/tile, so both
+    the geometry and the budgets starve dense scenes; these flags adapt
+    them at train time (stored in the checkpoint so eval reconstructs
+    the exact model).
+    """
+    parser.add_argument("--anchor_sizes", type=str, default=None,
+                        help="comma-separated anchor sizes (reference "
+                             "32,64,128; LIVECell-scale cells want e.g. "
+                             "12,24,48)")
+    parser.add_argument("--anchor_ratios", type=str, default=None,
+                        help="comma-separated anchor aspect ratios "
+                             "(reference 0.5,1,2)")
+    parser.add_argument("--train_topk", type=int, default=0,
+                        help="training proposals kept before sampling "
+                             "(reference 500)")
+    parser.add_argument("--train_samples", type=int, default=0,
+                        help="proposals sampled into the box/mask heads "
+                             "per image (reference 128)")
+    parser.add_argument("--rpn_batch", type=int, default=0,
+                        help="anchors sampled into the RPN loss per "
+                             "image (reference 256)")
+    parser.add_argument("--rpn_pos", type=int, default=0,
+                        help="positive-anchor cap within --rpn_batch "
+                             "(reference 128)")
+
+
+def apply_train_shape_flags(mcfg: "ModelConfig", args) -> "ModelConfig":
+    """Apply add_train_shape_flags CLI values onto a ModelConfig."""
+    kw = {}
+    if getattr(args, "anchor_sizes", None):
+        kw["anchor_sizes"] = tuple(
+            int(s) for s in args.anchor_sizes.split(","))
+    if getattr(args, "anchor_ratios", None):
+        kw["anchor_ratios"] = tuple(
+            float(s) for s in args.anchor_ratios.split(","))
+    if getattr(args, "train_topk", 0):
+        kw["train_pre_topk"] = args.train_topk
+    if getattr(args, "train_samples", 0):
+        kw["train_num_samples"] = args.train_samples
+    if getattr(args, "rpn_batch", 0):
+        kw["rpn_batch_per_image"] = args.rpn_batch
+    if getattr(args, "rpn_pos", 0):
+        kw["rpn_pos_per_image"] = args.rpn_pos
+    return dataclasses.replace(mcfg, **kw) if kw else mcfg
+
+
 def apply_dense_flags(mcfg: "ModelConfig", dets: int = 0,
                       infer_nms: float = 0.0, det_nms: float = 0.0
                       ) -> "ModelConfig":

@@ -205,20 +205,33 @@ def roi_align_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     return out
 
 
+def _channel_block(c: int, preferred: int) -> int:
+    """Largest lane-aligned divisor of c at most `preferred`, falling
+    back to c itself when no multiple of 128 divides it (e.g. c=96).
+    Guards against the r3 behavior where any c not divisible by the
+    preferred block silently became a full-width block (c=384 would
+    blow the VMEM budget instead of using cb=128; ADVICE r3)."""
+    for cand in (preferred, 256, 128):
+        if cand <= c and c % cand == 0:
+            return cand
+    return c
+
+
 def _forward(features, boxes, out_size, spatial_scale, sampling_ratio,
              interpret=False, kb_block=_KB, cb_fwd=_CB_FWD):
     b, h, w, c = features.shape
     k = boxes.shape[1]
     n_pad = out_size + out_size % 2
+    cb = _channel_block(c, cb_fwd)
     # The f32 GEMM intermediate [KB*n, W*CB] dominates VMEM; shrink the
     # ROI block for wide feature maps (e.g. the transfer path's 272-wide
-    # P2 level, where KB=64 would need a 142 MB intermediate).
+    # P2 level, where KB=64 would need a 142 MB intermediate). Uses the
+    # actual channel block, not min(cb_fwd, c) (ADVICE r3).
     while (kb_block > 8 and
-           kb_block * n_pad * w * min(cb_fwd, c) * 4 > 40 * 1024 * 1024):
+           kb_block * n_pad * w * cb * 4 > 40 * 1024 * 1024):
         kb_block //= 2
     kb_block = min(kb_block, -(-k // 8) * 8)
     kp = -(-k // kb_block) * kb_block
-    cb = cb_fwd if c % cb_fwd == 0 else c
     n = out_size + out_size % 2      # Mosaic needs even sublane groups
 
     boxes_p = _pad_k(boxes.astype(jnp.float32), k, kp)    # [B, Kp, 4]
@@ -276,15 +289,17 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, kb,
     # [H, W, CB] halves its channel block when large, and the GEMM
     # intermediate [KB*n, W, CB] shrinks the ROI block (transfer P2 is
     # 200x272 — the custom-path defaults would need >280 MB).
-    cb = _CB_BWD if c % _CB_BWD == 0 else c
+    cb = _channel_block(c, _CB_BWD)
     if h * w * cb * 4 > 32 * 1024 * 1024 and c % 128 == 0:
         cb = 128
     # Largest power-of-two ROI block (dividing Kp) whose resident
     # buffers — f32 GEMM intermediate + f32 dfeat block + bf16 g
     # block — fit the scoped-VMEM budget. The custom path (56x76x256)
     # keeps the swept kb=128; the transfer P2 level (200x272) drops
-    # to 32.
-    kb_block = 8
+    # to 32. If even kb=8 does not fit (huge map with an indivisible
+    # channel count), fail loudly with the XLA fallback named instead
+    # of letting Mosaic die on a VMEM overflow (ADVICE r3).
+    kb_block = None
     dfeat_bytes = h * w * cb * 4
     for cand in (128, 64, 32, 16, 8):
         resident = (cand * n_pad * w * cb * 4 + dfeat_bytes +
@@ -293,6 +308,11 @@ def _bwd_rule(out_size, spatial_scale, sampling_ratio, interpret, kb,
                 resident <= 90 * 1024 * 1024):
             kb_block = cand
             break
+    if kb_block is None:
+        raise ValueError(
+            f"pallas roi_align backward: no ROI block fits the VMEM "
+            f"budget for feature map {h}x{w}x{c} (channel block {cb}); "
+            f"use roi_backend='einsum' for this shape")
 
     n = out_size + out_size % 2
     g = _pad_k(g, k, kp)

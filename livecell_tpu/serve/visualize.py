@@ -31,17 +31,32 @@ def load_model(model_path: str, model_type: str = "custom",
                num_classes: int = 2, mcfg=None):
     """Load a trained model + variables (reference visualize.py:27-69).
 
-    `mcfg` overrides the ModelConfig (e.g. lifted detection caps from
-    apply_dense_flags); default keeps the reference inference caps.
+    The checkpoint's stored model config (anchor geometry, budgets,
+    quirk switches — written by the trainers) is the base; fields the
+    caller's `mcfg` explicitly changed from the defaults (e.g. lifted
+    detection caps from apply_dense_flags) overlay it.
     """
+    import dataclasses
+
     import jax
 
+    from livecell_tpu.config import model_config_from_dict
     from livecell_tpu.train import checkpoint
 
-    cfg = Config()
-    if mcfg is not None:
-        cfg = cfg.replace(model=mcfg)
     print(f"Loading {model_type} model from {model_path}...")
+    ckpt = checkpoint.load(model_path)
+    base = Config().model
+    stored = ckpt.get("model_config")
+    use = model_config_from_dict(stored) if stored else base
+    if mcfg is not None:
+        # Overlay only the caller's explicit (non-default) changes so a
+        # dense-caps sweep still respects the checkpoint's training-time
+        # anchor geometry and head configuration.
+        diff = {f.name: getattr(mcfg, f.name)
+                for f in dataclasses.fields(mcfg)
+                if getattr(mcfg, f.name) != getattr(base, f.name)}
+        use = dataclasses.replace(use, **diff) if diff else use
+    cfg = Config().replace(model=use)
     if model_type == "custom":
         from livecell_tpu.models.mask_rcnn import create_model
 
@@ -54,7 +69,6 @@ def load_model(model_path: str, model_type: str = "custom",
     else:
         raise ValueError(f"Unknown model_type: {model_type}")
 
-    ckpt = checkpoint.load(model_path)
     variables = {"params": ckpt["params"],
                  "batch_stats": ckpt.get("batch_stats", {})}
     return model, variables

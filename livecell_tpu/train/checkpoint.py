@@ -25,7 +25,8 @@ def _to_numpy(tree):
 def save(path: str, params: Any, batch_stats: Any,
          opt_state: Any = None, epoch: Optional[int] = None,
          train_losses=None, val_metrics=None,
-         param_info: Optional[Dict] = None):
+         param_info: Optional[Dict] = None,
+         model_config: Optional[Dict] = None):
     import orbax.checkpoint as ocp
 
     payload = {
@@ -42,6 +43,15 @@ def save(path: str, params: Any, batch_stats: Any,
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if model_config is not None:
+        # Sidecar JSON (string/bool leaves don't fit an Orbax array
+        # tree). Stored inside the checkpoint directory so the config
+        # travels with the weights; eval reconstructs the exact model
+        # (anchor geometry, budgets, quirk switches) with no CLI flags.
+        import json
+
+        with open(os.path.join(path, "model_config.json"), "w") as f:
+            json.dump(model_config, f, indent=1)
     return path
 
 
@@ -54,7 +64,13 @@ def load(path: str) -> Dict[str, Any]:
     payload = ckptr.restore(path)
     if "params" not in payload:
         # bare variables dict (the transfer trainer's raw-state_dict analog)
-        return {"params": payload, "batch_stats": {}, "meta": {}}
+        payload = {"params": payload, "batch_stats": {}, "meta": {}}
     payload.setdefault("batch_stats", {})
     payload.setdefault("meta", {})
+    cfg_path = os.path.join(path, "model_config.json")
+    if os.path.exists(cfg_path):
+        import json
+
+        with open(cfg_path) as f:
+            payload["model_config"] = json.load(f)
     return payload

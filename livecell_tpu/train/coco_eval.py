@@ -184,9 +184,14 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
                 if gcache is None:
                     gcache = {}
                     dataset._gt_mask_cache = gcache
-                if tile_idx in gcache:
+                # Key includes (th, tw): the same dataset object can be
+                # evaluated under model configs with different input
+                # sizes, and masks rasterized at one size must not be
+                # unpacked at another (ADVICE r3).
+                ckey = (tile_idx, th, tw)
+                if ckey in gcache:
                     gmasks = np.unpackbits(
-                        gcache[tile_idx], axis=-1,
+                        gcache[ckey], axis=-1,
                         count=tw).astype(bool)
                 else:
                     img_id = int(dataset.image_ids[tile_idx])
@@ -194,7 +199,7 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
                         ann_to_mask(a, th, tw)
                         for a in coco.get_anns(img_id)
                         if not a.get("iscrowd", 0)])
-                    gcache[tile_idx] = np.packbits(
+                    gcache[ckey] = np.packbits(
                         gmasks.astype(np.uint8), axis=-1)
                 dmasks = det_masks_fn(
                     jnp.asarray(det.mask_probs[bi]),

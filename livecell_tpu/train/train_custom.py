@@ -153,12 +153,15 @@ def main(argv=None, config=None):
     parser.add_argument("--save_every", type=int, default=0,
                         help="also checkpoint every N epochs (0 = only at "
                              "the end, the reference behavior)")
+    from livecell_tpu.config import add_train_shape_flags
+
+    add_train_shape_flags(parser)
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from livecell_tpu.config import Config
+    from livecell_tpu.config import Config, model_config_to_dict
     from livecell_tpu.data.dataset import get_datasets
     from livecell_tpu.models.mask_rcnn import (
         count_parameters, create_model)
@@ -189,9 +192,10 @@ def main(argv=None, config=None):
             match_backend=args.match_backend or mcfg.match_backend,
             topk_backend=args.topk_backend or mcfg.topk_backend,
             frozen_bn=args.frozen_bn or mcfg.frozen_bn)
-    from livecell_tpu.config import apply_dense_flags
+    from livecell_tpu.config import apply_dense_flags, apply_train_shape_flags
 
     mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)
+    mcfg = apply_train_shape_flags(mcfg, args)
 
     print(f"Training {args.model.upper()} Model")
     print("\nConfiguration:")
@@ -425,14 +429,16 @@ def main(argv=None, config=None):
                 state.params, state.batch_stats,
                 opt_state=state.opt_state, epoch=epoch,
                 train_losses=train_losses, val_metrics=val_history,
-                param_info=param_info)
+                param_info=param_info,
+                model_config=model_config_to_dict(mcfg))
 
     os.makedirs("models", exist_ok=True)
     model_path = f"models/{args.model}_maskrcnn_{args.num_epochs}epochs.ckpt"
     checkpoint.save(model_path, state.params, state.batch_stats,
                     opt_state=state.opt_state, epoch=args.num_epochs,
                     train_losses=train_losses, val_metrics=val_history,
-                    param_info=param_info)
+                    param_info=param_info,
+                    model_config=model_config_to_dict(mcfg))
     print(f"\nModel saved to {model_path}")
 
     if val_history:

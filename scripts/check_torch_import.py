@@ -89,6 +89,14 @@ def main():
         assert f.std() > 1e-3, f"degenerate P{i + 2} features"
     assert np.isfinite(obj).all() and obj.std() > 1e-3, \
         "degenerate RPN objectness"
+    # Zero-shot behavior gate (docs/manifests/torchvision_weights.json):
+    # genuine COCO weights must fire on at least one high-contrast blob
+    # of the fixture; random/tampered tensors with correct shapes pass
+    # the variance checks but not this.
+    peak = float(1.0 / (1.0 + np.exp(-obj.max())))
+    assert peak > 0.7, \
+        f"zero-shot RPN peak objectness {peak:.3f} <= 0.7 — weights do " \
+        "not behave like pretrained COCO weights"
 
     try:
         import torchvision
@@ -103,7 +111,8 @@ def main():
 
     tv = torchvision.models.detection.maskrcnn_resnet50_fpn(
         weights=None, weights_backbone=None)
-    tv.load_state_dict(torch.load(args.weights, map_location="cpu"))
+    tv.load_state_dict(
+        torch.load(args.weights, map_location="cpu", weights_only=True))
     tv.eval()
     with torch.no_grad():
         t_img = torch.from_numpy(img.transpose(2, 0, 1))

@@ -50,7 +50,8 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from livecell_tpu.config import Config, apply_dense_flags
+    from livecell_tpu.config import (Config, apply_dense_flags,
+                                     model_config_from_dict)
     from livecell_tpu.data.dataset import get_datasets
     from livecell_tpu.models.mask_rcnn import create_model
     from livecell_tpu.parallel.train_step import make_eval_step
@@ -58,10 +59,17 @@ def main(argv=None):
     from livecell_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    mcfg = Config().model
-    mcfg = dataclasses.replace(
-        mcfg, heads_all_images=args.fixed_heads,
-        decode_proposals=args.decode_proposals, frozen_bn=args.frozen_bn)
+    ckpt = checkpoint.load(args.ckpt)
+    if ckpt.get("model_config"):
+        # The exact training-time model config (anchor geometry, budgets,
+        # quirk switches) travels with the checkpoint; CLI flags below
+        # only override the inference-time caps being swept.
+        mcfg = model_config_from_dict(ckpt["model_config"])
+    else:
+        mcfg = Config().model
+        mcfg = dataclasses.replace(
+            mcfg, heads_all_images=args.fixed_heads,
+            decode_proposals=args.decode_proposals, frozen_bn=args.frozen_bn)
     mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)
 
     datasets = get_datasets(args.data_dir, mcfg)
@@ -75,7 +83,6 @@ def main(argv=None):
             d.cfg = mcfg
 
     model, variables = create_model(mcfg, jax.random.key(0))
-    ckpt = checkpoint.load(args.ckpt)
     params, batch_stats = ckpt["params"], ckpt["batch_stats"]
     # Structural check: the checkpoint must match the configured model.
     ref = jax.tree.map(lambda x: x.shape, variables["params"])

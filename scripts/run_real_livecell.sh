@@ -97,12 +97,18 @@ if [[ ! -e models/transfer_real.ckpt ]]; then
     fi
   fi
   if [[ -f models/maskrcnn_resnet50_fpn_coco.pth ]]; then
-    # The pin is the official torchvision hash prefix (bf2d0c1e, encoded
-    # in the filename). Verify the prefix; warn-only on mismatch since
-    # upstream re-serializations can change the full digest.
+    # The pin is the official torchvision hash prefix (bf2d0c1e — by
+    # torchvision convention the filename suffix IS the first 8 hex of
+    # the file's sha256). A mismatched file is rejected, not warned:
+    # both consumers also torch.load(weights_only=True) so a tampered
+    # pickle is never executed, but there is no reason to proceed with
+    # wrong bytes. Update the pin if upstream ever re-serializes.
     GOT=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -c1-8)
-    [[ "$GOT" == "bf2d0c1e" ]] || \
-      echo "WARNING: weight digest $GOT != pinned bf2d0c1e"
+    if [[ "$GOT" != "bf2d0c1e" ]]; then
+      echo "ERROR: weight sha256 prefix $GOT != pinned bf2d0c1e -" \
+           "refusing to load; delete the file and re-download" >&2
+      exit 1
+    fi
     python "$REPO/scripts/check_torch_import.py" \
       --weights models/maskrcnn_resnet50_fpn_coco.pth
     python -m livecell_tpu.train.train_transfer \
