@@ -232,6 +232,37 @@ class ModelConfig:
         return self.feature_height * self.feature_width * self.num_anchors_per_cell
 
 
+def strict_equivalence_config(mcfg: "ModelConfig") -> "ModelConfig":
+    """A deterministic variant of `mcfg` for sharding-equivalence tests.
+
+    The production bf16 step tolerates selection flips between
+    compilations (a one-ULP rounding difference in the proposal top-k
+    swaps which boxes train the heads), so sharded-vs-single gates on
+    it must be graded (tests/test_device_data.py, test_multihost_procs).
+    This config removes every nondeterminism source that is not the
+    sharding machinery itself:
+
+      - f32 compute (one-ULP bf16 reassociation noise is what flips
+        selections),
+      - exact top-k (no ApproxTopK HLO),
+      - the XLA matcher + einsum RoIAlign at "highest" precision
+        (bitwise-reproducible lowerings; the Pallas kernels tile
+        differently under different shardings),
+      - frozen BN (no cross-device batch-stat reduction, whose
+        summation order legitimately differs between mesh layouts).
+
+    Under it, the only cross-device arithmetic left is the gradient
+    psum, whose f32 reassociation noise is ~1e-7 relative — so the
+    strict tests can gate at rel 1e-6 across multiple steps.
+    """
+    import dataclasses
+
+    return dataclasses.replace(
+        mcfg, compute_dtype="float32", topk_backend="exact",
+        match_backend="xla", roi_backend="einsum",
+        roi_precision="highest", frozen_bn=True)
+
+
 def model_config_to_dict(mcfg: "ModelConfig") -> dict:
     """JSON-serializable dict of a ModelConfig (tuples become lists)."""
     d = dataclasses.asdict(mcfg)

@@ -516,7 +516,10 @@ class TransferMaskRCNN(nn.Module):
 
         obj_cat = jnp.concatenate(objs, axis=1)          # [B, A]
         dlt_cat = jnp.concatenate(dlts, axis=1)          # [B, A, 4]
-        f32_feats = tuple(f.astype(jnp.float32) for f in feats[:4])
+        # RoIAlign pools the FPN maps in their bf16 compute dtype (the
+        # heads cast to bf16 anyway; matches the custom path's feed) —
+        # halves the kernel's VMEM traffic vs the old f32 up-cast.
+        roi_feats = tuple(feats[:4])
 
         backend = c.rpn_match_backend
         if backend == "auto":
@@ -532,7 +535,7 @@ class TransferMaskRCNN(nn.Module):
         else:
             mx_b = tgt_b = best_b = None
 
-        def per_image(obj_i, dlt_i, feats_i, gtb, gtv, gtm, kr, kb_,
+        def per_image(obj_i, dlt_i, gtb, gtv, gtm, kr, kb_,
                       match_i):
             # RPN loss pieces.
             if match_i is not None:
@@ -571,17 +574,17 @@ class TransferMaskRCNN(nn.Module):
 
         if mx_b is not None:
             outs = jax.vmap(per_image)(
-                obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
+                obj_cat, dlt_cat, gt_boxes, gt_valid,
                 gt_mask28, rpn_keys, box_keys, (mx_b, tgt_b, best_b))
         else:
             outs = jax.vmap(
                 lambda *a: per_image(*a, None))(
-                obj_cat, dlt_cat, f32_feats, gt_boxes, gt_valid,
+                obj_cat, dlt_cat, gt_boxes, gt_valid,
                 gt_mask28, rpn_keys, box_keys)
         (obj_s, rval, rlabels, rpn_reg_p, fv, rpn_reg_t,
          sampled_b, sval, labels, reg_t, mb_b, mtargets, mvalid) = outs
-        box_rois = self._ms_roi(f32_feats, sampled_b, c.roi_size)
-        mrois = self._ms_roi(f32_feats, mb_b, c.mask_roi_size)
+        box_rois = self._ms_roi(roi_feats, sampled_b, c.roi_size)
+        mrois = self._ms_roi(roi_feats, mb_b, c.mask_roi_size)
 
         # ---- RPN losses (normalized like torchvision: by sampled count).
         n_sampled = jnp.maximum(rval.sum(), 1.0)
@@ -631,7 +634,7 @@ class TransferMaskRCNN(nn.Module):
         objs, dlts = self._rpn_outputs(feats)
         anchors = self._anchors()
         img_hw = (c.image_height, c.resized_width)
-        f32_feats = tuple(f.astype(jnp.float32) for f in feats[:4])
+        roi_feats = tuple(feats[:4])   # bf16 feed, same as training
 
         obj_cat = jnp.concatenate(objs, axis=1)
         dlt_cat = jnp.concatenate(dlts, axis=1)
@@ -643,7 +646,7 @@ class TransferMaskRCNN(nn.Module):
                 anchors, img_hw)
 
         pboxes, pvalid = jax.vmap(proposals_fn)(obj_cat, dlt_cat)
-        rois = self._ms_roi(f32_feats, pboxes, c.roi_size)
+        rois = self._ms_roi(roi_feats, pboxes, c.roi_size)
 
         flat = rois.reshape((-1,) + rois.shape[2:])
         h = self.box_head(flat)
@@ -667,7 +670,7 @@ class TransferMaskRCNN(nn.Module):
             pboxes, scores, pvalid, d1)
 
         # Mask branch on the final boxes (torchvision RoIHeads eval path).
-        mrois = self._ms_roi(f32_feats, det_boxes, c.mask_roi_size)
+        mrois = self._ms_roi(roi_feats, det_boxes, c.mask_roi_size)
         mlogits = self.mask_head(mrois.reshape((-1,) + mrois.shape[2:]))
         mask_probs = jax.nn.sigmoid(
             mlogits[..., 1].reshape(b, c.max_detections,

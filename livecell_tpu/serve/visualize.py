@@ -22,6 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from livecell_tpu.config import Config, add_dense_flags, apply_dense_flags
+from livecell_tpu.serve.pipeline import run_pipelined
 from livecell_tpu.serve.stitch import (
     StitchedDetections, group_tiles_by_image, load_tiles,
     make_frame_predictor, reconstruct_full_image)
@@ -208,10 +209,11 @@ def visualize_with_ground_truth(base_name: str,
                                 tile_cfg=None):
     """Side-by-side GT / per-model prediction panel
     (reference visualize.py:385-459)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    # Build the figure without pyplot: Figure + Agg canvas have no
+    # global registry, so overlay construction is safe on
+    # serve/pipeline.py's thread pool.
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     from livecell_tpu.config import TileConfig
 
@@ -221,8 +223,9 @@ def visualize_with_ground_truth(base_name: str,
     num_plots = 1 + len(results_list)
     full_canvas = reconstruct_full_image(tiles_list[0], tile_cfg)
 
-    fig, axes = plt.subplots(1, num_plots, figsize=(10 * num_plots, 10))
-    axes = np.atleast_1d(axes)
+    fig = Figure(figsize=(10 * num_plots, 10))
+    FigureCanvasAgg(fig)
+    axes = np.atleast_1d(fig.subplots(1, num_plots))
 
     if original_img is not None:
         axes[0].imshow(original_img)
@@ -253,12 +256,13 @@ def visualize_with_ground_truth(base_name: str,
                      fontsize=12)
         ax.axis("off")
 
-    plt.suptitle(f"Ground Truth vs Predictions | Score>{score_threshold} | "
+    # Object-oriented (fig.*) calls only: pyplot's current-figure global
+    # is racy when overlays build on serve/pipeline.py's thread pool.
+    fig.suptitle(f"Ground Truth vs Predictions | Score>{score_threshold} | "
                  f"Mask>{mask_threshold * 100:.0f}%", fontsize=14, y=0.98)
-    plt.tight_layout()
+    fig.tight_layout()
     save_path = os.path.join(save_dir, f"{base_name}_GT_VS_PREDICTIONS.png")
-    plt.savefig(save_path, dpi=200, bbox_inches="tight")
-    plt.close(fig)
+    fig.savefig(save_path, dpi=200, bbox_inches="tight")
     print(f"Saved GT vs Predictions: {save_path}")
     return save_path
 
@@ -324,10 +328,13 @@ def main(argv=None):
                 args.mask_threshold))
             names.append(name)
 
-    for base_name, tiles_info in tiles_by_image.items():
-        print(f"\nWorking on: {base_name}")
+    # Pipelined frame loop (vs reference's fully-serial per-frame
+    # decode -> 25 forwards -> figure, src/visualize.py:526-563):
+    # frame N+1's PNG decode and frame N-1's matplotlib figure overlap
+    # frame N's device dispatch (serve/pipeline.py).
+    def decode_frame(item):
+        base_name, tiles_info = item
         tiles = load_tiles(tiles_info, tile_cfg)
-
         original_img = None
         annotations = []
         for fname, d in filename_to_dir.items():
@@ -338,15 +345,28 @@ def main(argv=None):
                         original_img = np.asarray(im.convert("RGB"))
                     annotations = ann_by_image.get(fname, [])
                 break
+        return tiles, original_img, annotations
 
-        results = [predict(tiles) for predict in predictors]
+    def predict_frame(decoded):
+        tiles, _, _ = decoded
+        return [predict(tiles) for predict in predictors]
+
+    def consume_frame(item, decoded, results):
+        base_name, _ = item
+        tiles, original_img, annotations = decoded
         visualize_with_ground_truth(
             base_name, original_img, annotations, results,
             [tiles] * len(results), names, save_dir=args.output_dir,
             score_threshold=args.score_threshold,
             mask_threshold=args.mask_threshold, tile_cfg=tile_cfg)
 
-    print(f"\nFinished. Visualizations saved to {args.output_dir}")
+    stats = run_pipelined(list(tiles_by_image.items()), decode_frame,
+                          predict_frame, consume_frame)
+    for item, err in stats.errors:
+        print(f"ERROR on {item[0]}: {err!r}")
+    print(f"\nFinished {stats.frames} frames "
+          f"({json.dumps(stats.as_dict())}).\n"
+          f"Visualizations saved to {args.output_dir}")
 
 
 if __name__ == "__main__":

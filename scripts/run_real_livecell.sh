@@ -103,11 +103,26 @@ if [[ ! -e models/transfer_real.ckpt ]]; then
     # both consumers also torch.load(weights_only=True) so a tampered
     # pickle is never executed, but there is no reason to proceed with
     # wrong bytes. Update the pin if upstream ever re-serializes.
-    GOT=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -c1-8)
+    GOT_FULL=$(sha256sum models/maskrcnn_resnet50_fpn_coco.pth | cut -d' ' -f1)
+    GOT=${GOT_FULL:0:8}
     if [[ "$GOT" != "bf2d0c1e" ]]; then
       echo "ERROR: weight sha256 prefix $GOT != pinned bf2d0c1e -" \
            "refusing to load; delete the file and re-download" >&2
       exit 1
+    fi
+    # Prefer the full 256-bit pin once any networked host has recorded
+    # it in the manifest (docs/manifests/torchvision_weights.json
+    # sha256_full); the 8-char prefix is a 32-bit filename convention,
+    # not an integrity pin.
+    PINNED_FULL=$(python -c "import json;print(json.load(open('$REPO/docs/manifests/torchvision_weights.json')).get('sha256_full') or '')")
+    if [[ -n "$PINNED_FULL" && "$GOT_FULL" != "$PINNED_FULL" ]]; then
+      echo "ERROR: weight sha256 $GOT_FULL != manifest sha256_full" \
+           "$PINNED_FULL - refusing to load" >&2
+      exit 1
+    fi
+    if [[ -z "$PINNED_FULL" ]]; then
+      echo "NOTE: record this host's digest in the manifest:" \
+           "sha256_full=$GOT_FULL"
     fi
     python "$REPO/scripts/check_torch_import.py" \
       --weights models/maskrcnn_resnet50_fpn_coco.pth

@@ -24,6 +24,9 @@ def main():
     p.add_argument("--port", type=int, required=True)
     p.add_argument("--data_dir", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--strict", action="store_true",
+                   help="use strict_equivalence_config (f32/exact/frozen "
+                        "BN) for the deterministic cross-process gate")
     args = p.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -55,6 +58,10 @@ def main():
     from tests.test_model import TINY
 
     cfg = dataclasses.replace(TINY, max_instances=32)
+    if args.strict:
+        from livecell_tpu.config import strict_equivalence_config
+
+        cfg = strict_equivalence_config(cfg)
     packed = PackedDataset(args.data_dir, "train", cfg)
     mesh = make_mesh(8, model_parallel=1)
 
