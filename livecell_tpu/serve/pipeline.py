@@ -68,12 +68,22 @@ def run_pipelined(items: Iterable[Any],
                   predict_fn: Callable[[Any], Any],
                   consume_fn: Optional[Callable[[Any, Any, Any], Any]],
                   prefetch: int = 2,
-                  overlay_workers: int = 2) -> PipelineStats:
+                  overlay_workers: int = 2,
+                  fetch_fn: Optional[Callable[[Any], Any]] = None
+                  ) -> PipelineStats:
     """Drive items through decode -> predict -> consume, overlapped.
 
     decode_fn(item) -> tiles            (runs on the decode thread)
     predict_fn(tiles) -> detections     (runs on the caller's thread)
     consume_fn(item, tiles, detections) (runs on the overlay pool)
+
+    With `fetch_fn`, the device stage is double-buffered: predict_fn
+    becomes the non-blocking dispatch (JAX async dispatch returns
+    device arrays immediately) and fetch_fn(handle) -> detections the
+    blocking device->host readback. Frame N+1 is dispatched BEFORE
+    frame N is fetched, so N's device->tunnel readback and host unpack
+    overlap N+1's device compute; "device_ms" then reports the
+    dispatch+fetch critical path actually paid per frame.
 
     A decode failure records the error and skips the frame; a consume
     failure records the error after the run. Device-stage exceptions
@@ -99,14 +109,11 @@ def run_pipelined(items: Iterable[Any],
     dec_thread.start()
 
     futures = []
+    inflight: List[Tuple[Any, Any, Any]] = []  # (item, tiles, handle)
     with ThreadPoolExecutor(max_workers=overlay_workers) as pool:
-        while True:
-            got = tiles_q.get()
-            if got is _SENTINEL:
-                break
-            item, tiles = got
+        def finish(item, tiles, handle):
             t0 = time.perf_counter()
-            dets = predict_fn(tiles)
+            dets = handle if fetch_fn is None else fetch_fn(handle)
             stats.device_s += time.perf_counter() - t0
             if consume_fn is not None:
                 def run_consume(item=item, tiles=tiles, dets=dets):
@@ -116,6 +123,20 @@ def run_pipelined(items: Iterable[Any],
 
                 futures.append((item, pool.submit(run_consume)))
             stats.frames += 1
+
+        while True:
+            got = tiles_q.get()
+            if got is _SENTINEL:
+                break
+            item, tiles = got
+            t0 = time.perf_counter()
+            handle = predict_fn(tiles)
+            stats.device_s += time.perf_counter() - t0
+            inflight.append((item, tiles, handle))
+            if fetch_fn is None or len(inflight) > 1:
+                finish(*inflight.pop(0))
+        for entry in inflight:
+            finish(*entry)
         for item, f in futures:
             try:
                 stats.overlay_s += f.result()

@@ -188,7 +188,11 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
         sel_scores = det.scores.reshape(-1)[idx]
         return sel_boxes, sel_scores, packed, idx, sel_valid
 
-    def run(tiles_u8: np.ndarray) -> StitchedDetections:
+    def dispatch(tiles_u8: np.ndarray):
+        """Enqueue one frame on the device; returns device arrays
+        without blocking on the result (JAX async dispatch). Pair with
+        fetch() to double-buffer frames: frame N's fetch/unpack then
+        overlaps frame N+1's device compute (serve/pipeline.py)."""
         if len(tiles_u8) < n_pad_tiles:
             tiles_u8 = np.concatenate(
                 [tiles_u8, np.zeros((n_pad_tiles - len(tiles_u8), th, tw,
@@ -196,8 +200,12 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
         tiles_dev = jnp.asarray(tiles_u8)
         if bsh is not None:
             tiles_dev = jax.device_put(tiles_dev, bsh)
+        return predict(tiles_dev)
+
+    def fetch(handle) -> StitchedDetections:
+        """Block on a dispatch() handle and unpack to host dets."""
         boxes, scores, packed, idx, sel_valid = jax.tree.map(
-            np.asarray, predict(tiles_dev))
+            np.asarray, handle)
         v = np.array(sel_valid)
         masks = np.unpackbits(packed[v], axis=-1)[:, :, :tw].astype(bool)
         # idx is flat over [T, D] where D is the detection slot count
@@ -211,11 +219,17 @@ def make_frame_predictor(model, variables, tile_cfg: TileConfig,
             boxes=global_boxes, scores=scores[v], masks=masks,
             offsets=sel_off, tile_nums=t_ids)
 
+    def run(tiles_u8: np.ndarray) -> StitchedDetections:
+        return fetch(dispatch(tiles_u8))
+
     # The raw jitted device computation (u8 tiles -> packed detections),
     # exposed so benchmarks can attribute device time vs host/tunnel
-    # overhead (scripts/bench_serve.py).
+    # overhead (scripts/bench_serve.py); dispatch/fetch expose the
+    # two-phase path for pipelined double-buffering.
     run.device_fn = predict
     run.n_pad_tiles = n_pad_tiles
+    run.dispatch = dispatch
+    run.fetch = fetch
     return run
 
 

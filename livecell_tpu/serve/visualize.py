@@ -90,47 +90,33 @@ def load_coco_annotations(json_path: str):
 def create_mask_overlay(dets: StitchedDetections, frame_hw) -> np.ndarray:
     """RGBA overlay of predicted instance masks, tab20-colored
     (reference visualize.py:312-347)."""
-    import matplotlib.pyplot as plt
+    from livecell_tpu.serve.render import instance_overlay
+
+    return instance_overlay(list(dets.masks), dets.offsets, frame_hw)
+
+
+def decode_gt_masks(annotations: List[Dict], frame_hw) -> List[np.ndarray]:
+    """Full-frame boolean masks from RLE or polygon segmentations."""
+    from livecell_tpu.data.coco import polygons_to_mask, rle_decode
 
     h, w = frame_hw
-    canvas = np.zeros((h, w, 4), np.float32)
-    for idx in range(len(dets.scores)):
-        color = plt.cm.tab20(idx % 20)
-        ox, oy = int(dets.offsets[idx, 0]), int(dets.offsets[idx, 1])
-        mask = dets.masks[idx]
-        mh, mw = mask.shape
-        y1, x1 = min(oy + mh, h), min(ox + mw, w)
-        sub = mask[:y1 - oy, :x1 - ox]
-        canvas[oy:y1, ox:x1][sub] = (*color[:3], 0.5)
-    return canvas
+    masks = []
+    for ann in annotations:
+        seg = ann.get("segmentation")
+        if isinstance(seg, dict):
+            masks.append(rle_decode(seg, (h, w)) > 0)
+        elif isinstance(seg, list):
+            masks.append(polygons_to_mask(seg, h, w) > 0)
+    return masks
 
 
 def create_gt_mask_overlay(annotations: List[Dict], frame_hw):
     """RGBA overlay of GT masks from RLE or polygons
     (reference visualize.py:350-382)."""
-    import matplotlib.pyplot as plt
+    from livecell_tpu.serve.render import instance_overlay
 
-    from livecell_tpu.data.coco import polygons_to_mask, rle_decode
-
-    h, w = frame_hw
-    overlay = np.zeros((h, w, 4), np.float32)
-    count = 0
-    for ann in annotations:
-        seg = ann.get("segmentation")
-        if seg is None:
-            continue
-        if isinstance(seg, dict):
-            mask = rle_decode(seg, (h, w))
-        elif isinstance(seg, list):
-            mask = polygons_to_mask(seg, h, w)
-        else:
-            continue
-        color = plt.cm.tab20(count % 20)
-        colored = np.zeros((h, w, 4), np.float32)
-        colored[mask > 0] = (*color[:3], 0.5)
-        overlay = np.maximum(overlay, colored)
-        count += 1
-    return overlay, count
+    masks = decode_gt_masks(annotations, frame_hw)
+    return instance_overlay(masks, None, frame_hw), len(masks)
 
 
 def prediction_panels(image: np.ndarray, gt_boxes: np.ndarray,
@@ -206,15 +192,15 @@ def visualize_with_ground_truth(base_name: str,
                                 save_dir: str = "outputs",
                                 score_threshold: float = 0.5,
                                 mask_threshold: float = 0.4,
-                                tile_cfg=None):
+                                tile_cfg=None,
+                                renderer: str = "fast"):
     """Side-by-side GT / per-model prediction panel
-    (reference visualize.py:385-459)."""
-    # Build the figure without pyplot: Figure + Agg canvas have no
-    # global registry, so overlay construction is safe on
-    # serve/pipeline.py's thread pool.
-    from matplotlib.backends.backend_agg import FigureCanvasAgg
-    from matplotlib.figure import Figure
+    (reference visualize.py:385-459).
 
+    renderer="fast" (default) composites with numpy + PIL at native
+    frame resolution (serve/render.py; 4.77 s -> ~0.1 s per frame);
+    renderer="mpl" keeps the reference-style matplotlib figure.
+    """
     from livecell_tpu.config import TileConfig
 
     tile_cfg = tile_cfg or TileConfig()
@@ -222,6 +208,55 @@ def visualize_with_ground_truth(base_name: str,
     os.makedirs(save_dir, exist_ok=True)
     num_plots = 1 + len(results_list)
     full_canvas = reconstruct_full_image(tiles_list[0], tile_cfg)
+
+    if renderer == "fast":
+        from livecell_tpu.serve.render import composite, render_panels
+
+        panels = []
+        if original_img is not None:
+            base = np.asarray(original_img)
+            if base.shape[:2] != frame_hw:
+                from PIL import Image
+
+                base = np.asarray(Image.fromarray(base).resize(
+                    (frame_hw[1], frame_hw[0])))
+            gt_overlay, gt_count = create_gt_mask_overlay(
+                annotations, frame_hw)
+            panels.append((composite(base, gt_overlay),
+                           f"Ground Truth: {base_name} | "
+                           f"Instances: {gt_count}", []))
+        else:
+            blank = np.full((*frame_hw, 3), 235, np.uint8)
+            panels.append((blank, f"Ground Truth: {base_name} "
+                           "(GT Not Available)", []))
+        canvas_u8 = (np.clip(full_canvas, 0, 1) * 255).astype(np.uint8)
+        for dets, name in zip(results_list, model_names):
+            overlay = create_mask_overlay(dets, frame_hw)
+            labels = []
+            for k in range(len(dets.scores)):
+                mask = dets.masks[k]
+                if mask.any():
+                    ys, xs = np.nonzero(mask)
+                    labels.append((float(xs.mean() + dets.offsets[k, 0]),
+                                   float(ys.mean() + dets.offsets[k, 1]),
+                                   f"{dets.scores[k]:.2f}"))
+            panels.append((composite(canvas_u8, overlay),
+                           f"{name}: {base_name} | "
+                           f"Instances: {len(dets.scores)}", labels))
+        save_path = os.path.join(save_dir,
+                                 f"{base_name}_GT_VS_PREDICTIONS.png")
+        render_panels(
+            panels, f"Ground Truth vs Predictions | "
+            f"Score>{score_threshold} | "
+            f"Mask>{mask_threshold * 100:.0f}%", save_path)
+        print(f"Saved GT vs Predictions: {save_path}")
+        return save_path
+
+    # Build the figure without pyplot: Figure + Agg canvas have no
+    # global registry, so overlay construction is safe on
+    # serve/pipeline.py's thread pool.
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     fig = Figure(figsize=(10 * num_plots, 10))
     FigureCanvasAgg(fig)
@@ -287,6 +322,10 @@ def main(argv=None):
     parser.add_argument("--output_dir", type=str, default="outputs")
     parser.add_argument("--score_threshold", type=float, default=0.5)
     parser.add_argument("--mask_threshold", type=float, default=0.4)
+    parser.add_argument("--renderer", type=str, default="fast",
+                        choices=["fast", "mpl"],
+                        help="fast: numpy+PIL native-resolution panels; "
+                        "mpl: reference-style matplotlib figure")
     add_dense_flags(parser)
     args = parser.parse_args(argv)
 
@@ -349,7 +388,11 @@ def main(argv=None):
 
     def predict_frame(decoded):
         tiles, _, _ = decoded
-        return [predict(tiles) for predict in predictors]
+        return [predict.dispatch(tiles) for predict in predictors]
+
+    def fetch_frame(handles):
+        return [predict.fetch(h)
+                for predict, h in zip(predictors, handles)]
 
     def consume_frame(item, decoded, results):
         base_name, _ = item
@@ -358,10 +401,12 @@ def main(argv=None):
             base_name, original_img, annotations, results,
             [tiles] * len(results), names, save_dir=args.output_dir,
             score_threshold=args.score_threshold,
-            mask_threshold=args.mask_threshold, tile_cfg=tile_cfg)
+            mask_threshold=args.mask_threshold, tile_cfg=tile_cfg,
+            renderer=args.renderer)
 
     stats = run_pipelined(list(tiles_by_image.items()), decode_frame,
-                          predict_frame, consume_frame)
+                          predict_frame, consume_frame,
+                          fetch_fn=fetch_frame)
     for item, err in stats.errors:
         print(f"ERROR on {item[0]}: {err!r}")
     print(f"\nFinished {stats.frames} frames "

@@ -187,7 +187,8 @@ def bench_pipelined_serve(n_frames: int = 12) -> dict:
             save_dir=str(out_dir), tile_cfg=cfg.tile)
 
     predict(decode_fn(items[0]))  # compile outside the timed region
-    stats = run_pipelined(items, decode_fn, predict, consume_fn)
+    stats = run_pipelined(items, decode_fn, predict.dispatch, consume_fn,
+                          fetch_fn=predict.fetch)
     assert not stats.errors, stats.errors
     assert len(list(out_dir.glob("*.png"))) == n_frames
     shutil.rmtree(tmp, ignore_errors=True)

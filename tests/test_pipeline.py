@@ -135,3 +135,77 @@ def test_overlay_figure_builds_concurrently(tmp_path):
     for n in ("f0", "f1", "f2", "f3"):
         p = tmp_path / f"{n}_GT_VS_PREDICTIONS.png"
         assert p.exists() and p.stat().st_size > 1000
+
+def test_two_phase_fetch_double_buffers():
+    """With fetch_fn, frame N+1 must be dispatched BEFORE frame N is
+    fetched (double-buffered device), every handle must be fetched
+    exactly once, and results must flow to consume in order."""
+    events = []
+    got = []
+
+    stats = run_pipelined(
+        [0, 1, 2, 3],
+        decode_fn=lambda i: i,
+        predict_fn=lambda t: events.append(("dispatch", t)) or ("h", t),
+        consume_fn=lambda item, tiles, dets: got.append((item, dets)),
+        fetch_fn=lambda h: events.append(("fetch", h[1])) or h[1] * 100)
+
+    assert stats.frames == 4 and not stats.errors
+    assert sorted(got) == [(i, i * 100) for i in range(4)]
+    # dispatch(1) precedes fetch(0), dispatch(2) precedes fetch(1), ...
+    for n in range(1, 4):
+        assert events.index(("dispatch", n)) < events.index(("fetch", n - 1))
+    assert [e for e in events if e[0] == "fetch"] == \
+        [("fetch", i) for i in range(4)]
+
+
+def test_fast_renderer_matches_mpl_content(tmp_path):
+    """The fast (numpy+PIL) renderer must produce a valid PNG with the
+    same panel count/semantics as the matplotlib path, much faster at
+    LIVECell instance densities."""
+    import numpy as np
+    from PIL import Image
+
+    from livecell_tpu.config import TileConfig
+    from livecell_tpu.serve.render import TAB20, composite, instance_overlay
+    from livecell_tpu.serve.stitch import StitchedDetections
+    from livecell_tpu.serve.visualize import visualize_with_ground_truth
+
+    # palette sanity: 20 distinct RGB rows in [0, 1]
+    assert TAB20.shape == (20, 3)
+    assert len({tuple(c) for c in TAB20.round(3).tolist()}) == 20
+
+    # overlay + composite semantics: masked pixels get 50% blend of the
+    # instance color, unmasked pixels pass through
+    base = np.full((8, 10, 3), 200, np.uint8)
+    m = np.zeros((8, 10), bool)
+    m[2:4, 3:5] = True
+    ov = instance_overlay([m], None, (8, 10))
+    out = composite(base, ov)
+    want = (200 * 0.5 + TAB20[0] * 255 * 0.5).astype(np.uint8)
+    assert np.array_equal(out[2, 3], want)
+    assert np.array_equal(out[0, 0], [200, 200, 200])
+
+    tcfg = TileConfig(frame_width=64, frame_height=48, tiles_per_image=4)
+    rng = np.random.default_rng(0)
+    tiles = rng.integers(0, 255, (tcfg.num_tiles, tcfg.tile_height,
+                                  tcfg.tile_width, 3), dtype=np.uint8)
+    masks = np.zeros((2, tcfg.tile_height, tcfg.tile_width), bool)
+    masks[:, 4:12, 4:12] = True
+    dets = StitchedDetections(
+        boxes=np.array([[4, 4, 12, 12], [20, 20, 30, 30]], np.float32),
+        scores=np.array([0.9, 0.7], np.float32),
+        masks=masks,
+        offsets=np.zeros((2, 2), np.int64),
+        tile_nums=np.zeros(2, np.int64))
+    anns = [{"segmentation": [[2.0, 2.0, 10.0, 2.0, 10.0, 10.0,
+                               2.0, 10.0]]}]
+    orig = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+
+    p = visualize_with_ground_truth(
+        "fastframe", orig, anns, [dets], [tiles], ["m"],
+        save_dir=str(tmp_path), tile_cfg=tcfg, renderer="fast")
+    with Image.open(p) as im:
+        w, h = im.size
+    # two panels side by side + padding; taller than a frame (title bars)
+    assert w > 2 * tcfg.frame_width and h > tcfg.frame_height
