@@ -94,7 +94,7 @@ def main(argv=None):
         cfg = ModelConfig()
     else:
         cfg = ModelConfig(heads_all_images=True, decode_proposals=True,
-                          mask_samples=64)
+                          mask_train_samples=64)
 
     body, state, images, targets = build_step(cfg, args.batch_size)
     key = jax.random.key(1)
