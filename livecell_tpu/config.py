@@ -152,6 +152,12 @@ class ModelConfig:
     # measured perf/quality trade (see STATUS round 3).
     frozen_bn: bool = False
 
+    # Compute the 7x7/2 stem conv via space-to-depth (same math and
+    # parameter tree, 4x MXU lane occupancy on C_in=3 — see
+    # models/resnet.py:StemConvS2D). bf16-reduction-order different
+    # only; a measured perf option.
+    stem_s2d: bool = False
+
     # Compute dtype for the conv/matmul path (params stay f32).
     compute_dtype: str = "bfloat16"
 
@@ -313,6 +319,10 @@ def add_train_shape_flags(parser) -> None:
     parser.add_argument("--rpn_pos", type=int, default=0,
                         help="positive-anchor cap within --rpn_batch "
                              "(reference 128)")
+    parser.add_argument("--stem_s2d", action="store_true",
+                        help="compute the stem conv via space-to-depth "
+                             "(identical math + param tree, full MXU "
+                             "lanes; models/resnet.py:StemConvS2D)")
 
 
 def apply_train_shape_flags(mcfg: "ModelConfig", args) -> "ModelConfig":
@@ -332,6 +342,8 @@ def apply_train_shape_flags(mcfg: "ModelConfig", args) -> "ModelConfig":
         kw["rpn_batch_per_image"] = args.rpn_batch
     if getattr(args, "rpn_pos", 0):
         kw["rpn_pos_per_image"] = args.rpn_pos
+    if getattr(args, "stem_s2d", False):
+        kw["stem_s2d"] = True
     return dataclasses.replace(mcfg, **kw) if kw else mcfg
 
 

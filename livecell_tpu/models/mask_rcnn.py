@@ -41,7 +41,8 @@ class CustomMaskRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.backbone = ResNetBackbone(dtype=dtype, frozen_bn=c.frozen_bn)
+        self.backbone = ResNetBackbone(dtype=dtype, frozen_bn=c.frozen_bn,
+                                       stem_s2d=c.stem_s2d)
         self.cbam = [CBAM(ch, c.cbam_reduction, c.cbam_spatial_kernel,
                           dtype=dtype, name=f"cbam{i + 1}")
                      for i, ch in enumerate(c.backbone_channels)]

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -83,6 +84,51 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConvS2D(nn.Module):
+    """The 7x7/2 stem conv computed via space-to-depth (MLPerf-style).
+
+    C_in=3 leaves the MXU's 128-lane contracting dimension ~97% empty
+    on the largest spatial map of the network (r3 xprof: the stem is
+    part of the lane-bound conv tail). The identical convolution is
+    re-expressed as a 4x4/1 VALID conv over a 2x2 space-to-depth input
+    (12 channels): zero-pad the 7x7 kernel to 8x8, regroup both kernel
+    and input by (dy, dx, c). Same MACs, 4x the lane occupancy, and the
+    strided input gather disappears. Bit-different only in bf16
+    reduction order.
+
+    The parameter is the UNTRANSFORMED torchvision-shape (7,7,3,64)
+    kernel under the same "conv1" collection, so checkpoints and the
+    torch importer are oblivious to the flag.
+    """
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", kaiming_normal_fan_out, (7, 7, 3, 64),
+                       jnp.float32)
+        k8 = jnp.pad(k.astype(self.dtype),
+                     ((0, 1), (0, 1), (0, 0), (0, 0)))
+        # W'[a, b, (dy, dx, c)] = W[2a+dy, 2b+dx, c]
+        k8 = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5) \
+            .reshape(4, 4, 12, 64)
+
+        b, h, w, c = x.shape
+        out_h, out_w = (h + 1) // 2, (w + 1) // 2
+        pad_b = 2 * out_h + 6 - h - 3   # reach of tap 2*(out_h-1)+7
+        pad_r = 2 * out_w + 6 - w - 3
+        x = jnp.pad(x.astype(self.dtype),
+                    ((0, 0), (3, pad_b + (h + 3 + pad_b) % 2),
+                     (3, pad_r + (w + 3 + pad_r) % 2), (0, 0)))
+        hp, wp = x.shape[1], x.shape[2]
+        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            x, k8, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :out_h, :out_w]
+
+
 class ResNetBackbone(nn.Module):
     """Stem + 4 stages, returning the per-stage feature maps (c1..c4).
 
@@ -99,6 +145,9 @@ class ResNetBackbone(nn.Module):
     # the per-step batch-stat reduction passes; for fine-tune workflows
     # and as a measured perf option (see STATUS round 3).
     frozen_bn: bool = False
+    # Compute the stem conv via space-to-depth (StemConvS2D): identical
+    # math and parameter tree, full MXU lane occupancy.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool,
@@ -108,9 +157,12 @@ class ResNetBackbone(nn.Module):
         reference's serial chaining c2 = cbam2(layer2(cbam1(...)))
         (custom_maskrcnn.py:77-80)."""
         # Stem: 7x7/2 conv, BN, relu, 3x3/2 maxpool (floor mode like torch).
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, kernel_init=kaiming_normal_fan_out,
-                    dtype=self.dtype, name="conv1")(x)
+        if self.stem_s2d:
+            x = StemConvS2D(self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, kernel_init=kaiming_normal_fan_out,
+                        dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=(not train) or self.frozen_bn,
             momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)

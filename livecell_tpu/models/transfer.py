@@ -423,7 +423,9 @@ class TransferMaskRCNN(nn.Module):
         self.backbone = ResNetBackbone(depths=(3, 4, 6, 3),
                                        widths=(64, 128, 256, 512),
                                        bottleneck=True, dtype=dtype,
-                                       frozen_bn=c.frozen_bn)
+                                       frozen_bn=c.frozen_bn,
+                                       stem_s2d=getattr(c, "stem_s2d",
+                                                        False))
         self.fpn = FPN(in_channels=(256, 512, 1024, 2048),
                        out_channels=256, relu_outputs=False,
                        extra_maxpool=True, dtype=dtype)
