@@ -85,6 +85,15 @@ def main(argv=None, transfer_cfg=None):
     parser.add_argument("--eval_batch_size", type=int, default=0,
                         help="batch size for eval forwards (0 = "
                              "batch_size)")
+    parser.add_argument("--frozen_bn", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="torchvision FrozenBatchNorm2d backbone "
+                             "semantics. auto: on when --pretrained is "
+                             "given (torchvision freezes backbone BN "
+                             "unconditionally, so this is the parity "
+                             "default with real weights), off for "
+                             "from-scratch runs (frozen init-stats "
+                             "cripple random-init training)")
     parser.add_argument("--mfu", action="store_true",
                         help="print step TFLOPs + MFU per stage "
                              "(analytic jaxpr count, utils/flops.py)")
@@ -106,6 +115,12 @@ def main(argv=None, transfer_cfg=None):
     enable_compilation_cache()
     cfg = Config()
     tcfg = transfer_cfg or TransferConfig()
+    want_frozen = (args.frozen_bn == "on" or
+                   (args.frozen_bn == "auto" and bool(args.pretrained)))
+    if transfer_cfg is None and want_frozen != tcfg.frozen_bn:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, frozen_bn=want_frozen)
 
     print("Two-stage transfer training (ResNet-50 FPN Mask R-CNN)")
     if args.pretrained:

@@ -81,6 +81,8 @@ def main(argv=None):
     parser.add_argument("--measure", action="store_true",
                         help="also time the per-dispatch step")
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--stem_s2d", action="store_true",
+                        help="measure with the space-to-depth stem")
     args = parser.parse_args(argv)
 
     import jax
@@ -95,6 +97,10 @@ def main(argv=None):
     else:
         cfg = ModelConfig(heads_all_images=True, decode_proposals=True,
                           mask_train_samples=64)
+    if args.stem_s2d:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, stem_s2d=True)
 
     body, state, images, targets = build_step(cfg, args.batch_size)
     key = jax.random.key(1)
@@ -116,7 +122,7 @@ def main(argv=None):
     t_hbm_ms = xla_bytes / V5E_HBM_BPS * 1e3
 
     rec = {
-        "mode": "quirk" if args.quirk else "fixed",
+        "mode": ("quirk" if args.quirk else "fixed") + ("+s2d" if args.stem_s2d else ""),
         "batch_size": args.batch_size,
         "analytic_mxu_tflops": round(analytic_flops / 1e12, 4),
         "xla_total_tflops": round(xla_flops / 1e12, 4),
