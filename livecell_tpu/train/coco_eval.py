@@ -13,7 +13,6 @@ directly (pycocotools is absent in this image):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -119,13 +118,40 @@ def compute_ap(per_image: List[Tuple[np.ndarray, np.ndarray, int]]
     }
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def evaluate_coco(eval_step, params, batch_stats, dataset,
                   batch_size: int, iou_type: str = "segm",
                   max_dets: int = 100) -> Dict[str, float]:
-    """Run the detector over a split and compute COCO AP.
+    """Single-type wrapper over :func:`evaluate_coco_multi`."""
+    return evaluate_coco_multi(eval_step, params, batch_stats, dataset,
+                               batch_size, iou_types=(iou_type,),
+                               max_dets=max_dets)[iou_type]
 
-    iou_type 'segm' pastes masks and uses mask IoU (the BASELINE
-    headline); 'bbox' uses box IoU.
+
+def evaluate_coco_multi(eval_step, params, batch_stats, dataset,
+                        batch_size: int, iou_types=("segm", "bbox"),
+                        max_dets: int = 100, box_metrics: bool = False,
+                        score_thresh: float = 0.5,
+                        iou_thresh: float = 0.5
+                        ) -> Dict[str, Dict[str, float]]:
+    """Run the detector ONCE over a split and compute COCO AP for every
+    requested IoU type ('segm' pastes masks and uses mask IoU — the
+    BASELINE headline; 'bbox' uses box IoU).
+
+    TPU-tunnel-aware design (the detector may sit behind a remote
+    device): GT masks ship to the device bit-packed (8x smaller) and
+    are unpacked in-kernel; paste->IoU is one fused jitted call whose
+    only fetch is the [D, G] IoU matrix (the pasted [D, H, W] masks
+    never leave the device); GT counts are bucketed to multiples of 32
+    so the fused program compiles a handful of times per split instead
+    of once per distinct (n_det, n_gt) pair.
+
+    With ``box_metrics=True`` the same detector pass also accumulates
+    the reference box IoU/P/R/F1 metrics (train/metrics.py), returned
+    under key ``"box_metrics"`` — one sweep instead of three.
     """
     import jax
     import jax.numpy as jnp
@@ -142,58 +168,78 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
     # input smaller than the tile (reduced-scale tests) crops the GT.
     th = min(dataset.tile_hw[0], mcfg.image_height)
     tw = min(dataset.tile_hw[1], mcfg.image_width)
-    coco = CocoIndex(dataset.ann_file) if iou_type == "segm" else None
+    coco = CocoIndex(dataset.ann_file) if "segm" in iou_types else None
 
     @jax.jit
-    def det_masks_fn(probs, boxes, valid):
+    def fused_mask_iou(probs, boxes, valid, gpacked):
+        # gpacked: [G, th, ceil(tw/8)] uint8, numpy packbits order
+        # (bitorder='big' -> MSB first).
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (gpacked[..., None] >> shifts) & jnp.uint8(1)
+        gmasks = bits.reshape(gpacked.shape[0], th, -1)[:, :, :tw]
         full = paste_masks(probs, boxes,
                            (mcfg.image_height, mcfg.image_width),
                            valid=valid)
-        return full[:, :th, :tw] > 0
+        return mask_iou_matrix(full[:, :th, :tw] > 0, gmasks)
 
-    @functools.partial(jax.jit, static_argnames=("n_gt",))
-    def mask_iou_fn(dmasks, gmasks, n_gt):
-        return mask_iou_matrix(dmasks, gmasks)
+    @jax.jit
+    def box_iou_fn(dboxes, gboxes):
+        return box_iou(dboxes, gboxes)
 
-    per_image = []
+    if box_metrics:
+        from livecell_tpu.train.metrics import (MetricAccumulator,
+                                                batch_eval_stats)
+        acc = MetricAccumulator()
+
+    per_image = {t: [] for t in iou_types}
     idx_cursor = 0
     for images, targets, bvalid in dataset.batches(batch_size):
         det = eval_step(params, batch_stats, jnp.asarray(images))
-        det = jax.tree.map(np.asarray, det)
+        if box_metrics:
+            stats = batch_eval_stats(
+                det, jnp.asarray(targets["boxes"]),
+                jnp.asarray(targets["valid"]), jnp.asarray(bvalid),
+                score_thresh=score_thresh, iou_thresh=iou_thresh)
+            acc.update(jax.tree.map(np.asarray, stats))
+        h_scores = np.asarray(det.scores)
+        h_valid = np.asarray(det.valid)
+        h_boxes = np.asarray(det.boxes)
         for bi in range(images.shape[0]):
             if not bvalid[bi]:
                 continue
             tile_idx = idx_cursor
             idx_cursor += 1
-            valid = det.valid[bi]
-            scores = det.scores[bi][valid]
-            boxes = det.boxes[bi][valid]
+            valid = h_valid[bi]
+            scores = h_scores[bi][valid]
             lo, hi = dataset.offsets[tile_idx], dataset.offsets[tile_idx + 1]
             n_gt = int(hi - lo)
             if len(scores) == 0 or n_gt == 0:
-                per_image.append((scores, np.zeros((len(scores), n_gt)),
-                                  n_gt))
+                for t in iou_types:
+                    per_image[t].append(
+                        (scores, np.zeros((len(scores), n_gt)), n_gt))
                 continue
-            if iou_type == "bbox":
-                iou = np.asarray(box_iou(jnp.asarray(boxes),
-                                         jnp.asarray(dataset.boxes[lo:hi])))
-            else:
+            order = np.argsort(-scores)[:max_dets]
+            gpad = _round_up(n_gt, 32)
+            if "bbox" in iou_types:
+                gboxes = np.zeros((gpad, 4), np.float32)
+                gboxes[:n_gt] = dataset.boxes[lo:hi]
+                iou = np.asarray(box_iou_fn(
+                    jnp.asarray(h_boxes[bi]),
+                    jnp.asarray(gboxes)))[valid][:, :n_gt]
+                per_image["bbox"].append((scores[order], iou[order], n_gt))
+            if "segm" in iou_types:
                 # GT rasterization cached on the dataset (bit-packed;
-                # a split is re-evaluated every epoch).
+                # a split is re-evaluated every epoch). Key includes
+                # (th, tw): the same dataset object can be evaluated
+                # under model configs with different input sizes, and
+                # masks rasterized at one size must not be unpacked at
+                # another (ADVICE r3).
                 gcache = getattr(dataset, "_gt_mask_cache", None)
                 if gcache is None:
                     gcache = {}
                     dataset._gt_mask_cache = gcache
-                # Key includes (th, tw): the same dataset object can be
-                # evaluated under model configs with different input
-                # sizes, and masks rasterized at one size must not be
-                # unpacked at another (ADVICE r3).
                 ckey = (tile_idx, th, tw)
-                if ckey in gcache:
-                    gmasks = np.unpackbits(
-                        gcache[ckey], axis=-1,
-                        count=tw).astype(bool)
-                else:
+                if ckey not in gcache:
                     img_id = int(dataset.image_ids[tile_idx])
                     gmasks = np.stack([
                         ann_to_mask(a, th, tw)
@@ -201,13 +247,14 @@ def evaluate_coco(eval_step, params, batch_stats, dataset,
                         if not a.get("iscrowd", 0)])
                     gcache[ckey] = np.packbits(
                         gmasks.astype(np.uint8), axis=-1)
-                dmasks = det_masks_fn(
-                    jnp.asarray(det.mask_probs[bi]),
-                    jnp.asarray(det.boxes[bi]), jnp.asarray(det.valid[bi]))
-                dmasks = np.asarray(dmasks)[valid]
-                iou = np.asarray(mask_iou_fn(
-                    jnp.asarray(dmasks), jnp.asarray(gmasks),
-                    gmasks.shape[0]))
-            order = np.argsort(-scores)[:max_dets]
-            per_image.append((scores[order], iou[order], n_gt))
-    return compute_ap(per_image)
+                packed = gcache[ckey]
+                gpacked = np.zeros((gpad,) + packed.shape[1:], np.uint8)
+                gpacked[:n_gt] = packed
+                iou = np.asarray(fused_mask_iou(
+                    det.mask_probs[bi], det.boxes[bi], det.valid[bi],
+                    jnp.asarray(gpacked)))[valid][:, :n_gt]
+                per_image["segm"].append((scores[order], iou[order], n_gt))
+    out = {t: compute_ap(per_image[t]) for t in iou_types}
+    if box_metrics:
+        out["box_metrics"] = acc.summary()
+    return out

@@ -325,16 +325,14 @@ def main(argv=None, transfer_cfg=None):
               f"P {tm['mean_precision']:.4f} | R {tm['mean_recall']:.4f} | "
               f"F1 {tm['f1_score']:.4f}")
         if args.coco_ap:
-            from livecell_tpu.train.coco_eval import evaluate_coco
+            from livecell_tpu.train.coco_eval import evaluate_coco_multi
 
-            ap = evaluate_coco(eval_step, state.params,
-                               state.batch_stats, test_ds, eval_bs,
-                               iou_type="segm")
+            aps = evaluate_coco_multi(eval_step, state.params,
+                                      state.batch_stats, test_ds, eval_bs,
+                                      iou_types=("segm", "bbox"))
+            ap, bap = aps["segm"], aps["bbox"]
             print(f"Test Mask AP: {ap['AP']:.4f} (AP50 {ap['AP50']:.4f}, "
                   f"AP75 {ap['AP75']:.4f})")
-            bap = evaluate_coco(eval_step, state.params,
-                                state.batch_stats, test_ds, eval_bs,
-                                iou_type="bbox")
             print(f"Test Box AP:  {bap['AP']:.4f} "
                   f"(AP50 {bap['AP50']:.4f}, AP75 {bap['AP75']:.4f})")
     return state

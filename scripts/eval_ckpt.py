@@ -92,26 +92,34 @@ def main(argv=None):
                          "config (wrong --fixed_heads/--decode_proposals?)")
 
     eval_step = make_eval_step(model)
-    tm = metrics_lib.evaluate(eval_step, params, batch_stats, ds,
-                              args.batch_size, args.score_thresh,
-                              args.iou_thresh)
     row = {"split": args.split, "dets": mcfg.max_detections,
            "infer_nms": mcfg.infer_nms_thresh,
-           "det_nms": mcfg.det_nms_thresh,
-           "mean_iou": round(tm["mean_iou"], 4),
-           "precision": round(tm["mean_precision"], 4),
-           "recall": round(tm["mean_recall"], 4),
-           "f1": round(tm["f1_score"], 4)}
-    if not args.no_coco_ap:
-        from livecell_tpu.train.coco_eval import evaluate_coco
+           "det_nms": mcfg.det_nms_thresh}
+    if args.no_coco_ap:
+        tm = metrics_lib.evaluate(eval_step, params, batch_stats, ds,
+                                  args.batch_size, args.score_thresh,
+                                  args.iou_thresh)
+    else:
+        # ONE detector pass over the split: box P/R/F1 + COCO mask AP +
+        # COCO box AP together (evaluate_coco_multi fuses all three).
+        from livecell_tpu.train.coco_eval import evaluate_coco_multi
 
-        for iou_type in ("segm", "bbox"):
-            ap = evaluate_coco(eval_step, params, batch_stats, ds,
-                               args.batch_size, iou_type=iou_type)
+        aps = evaluate_coco_multi(eval_step, params, batch_stats, ds,
+                                  args.batch_size,
+                                  iou_types=("segm", "bbox"),
+                                  box_metrics=True,
+                                  score_thresh=args.score_thresh,
+                                  iou_thresh=args.iou_thresh)
+        tm = aps.pop("box_metrics")
+        for iou_type, ap in aps.items():
             tag = "mask" if iou_type == "segm" else "box"
             row.update({f"{tag}_AP": round(ap["AP"], 4),
                         f"{tag}_AP50": round(ap["AP50"], 4),
                         f"{tag}_AP75": round(ap["AP75"], 4)})
+    row.update({"mean_iou": round(tm["mean_iou"], 4),
+                "precision": round(tm["mean_precision"], 4),
+                "recall": round(tm["mean_recall"], 4),
+                "f1": round(tm["f1_score"], 4)})
     print(json.dumps(row))
 
 
