@@ -71,12 +71,18 @@ def main(argv=None):
     parser.add_argument("--paste_thresh", type=float, default=0.5)
     parser.add_argument("--max_images", type=int, default=0)
     parser.add_argument("--out", default=None)
+    # Inference-cap overrides (as scripts/eval_ckpt.py): arm C on dense
+    # scenes is cap-confounded at the reference 50-detection budget.
+    parser.add_argument("--dets", type=int, default=0)
+    parser.add_argument("--infer_nms", type=float, default=0.0)
+    parser.add_argument("--det_nms", type=float, default=0.0)
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from livecell_tpu.config import Config, model_config_from_dict
+    from livecell_tpu.config import (Config, apply_dense_flags,
+                                     model_config_from_dict)
     from livecell_tpu.data.coco import CocoIndex, ann_to_mask
     from livecell_tpu.data.dataset import get_datasets
     from livecell_tpu.models.mask_rcnn import create_model
@@ -93,6 +99,7 @@ def main(argv=None):
     else:
         mcfg = dataclasses.replace(Config().model, heads_all_images=True,
                                    decode_proposals=True)
+    mcfg = apply_dense_flags(mcfg, args.dets, args.infer_nms, args.det_nms)
 
     datasets = get_datasets(args.data_dir, mcfg)
     ds = datasets[args.split]
