@@ -73,11 +73,60 @@ def build_step(cfg, batch_size: int):
     return body, state, images, targets
 
 
+def build_transfer_step(batch_size: int, roi_backend: str = "auto"):
+    """The transfer (torchvision-parity R50-FPN) train step on the
+    800x1088 canvas — profile_transfer.py's workload shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from livecell_tpu.models.transfer import (TransferConfig,
+                                              create_transfer_model)
+    from livecell_tpu.parallel.train_step import (
+        create_train_state, make_step_fn)
+
+    model, variables = create_transfer_model(
+        rng=jax.random.key(0), cfg=TransferConfig(roi_backend=roi_backend))
+    c = model.cfg
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(5e-3, momentum=0.9))
+    state = create_train_state(model, variables, tx)
+    body = make_step_fn(model, tx)
+
+    rng = np.random.default_rng(0)
+    b, i = batch_size, c.max_instances
+    th, tw = c.tile_height, c.tile_width
+    images = jnp.asarray(
+        (rng.uniform(size=(b, th, tw, 3)) * 255).astype(np.uint8))
+    n_inst = 40
+    boxes = np.zeros((b, i, 4), np.float32)
+    for bi in range(b):
+        x1 = rng.uniform(0, tw - 60, n_inst)
+        y1 = rng.uniform(0, th - 60, n_inst)
+        bw = rng.uniform(12, 55, n_inst)
+        bh = rng.uniform(12, 55, n_inst)
+        boxes[bi, :n_inst] = np.stack([x1, y1, x1 + bw, y1 + bh], axis=1)
+    valid = np.zeros((b, i), bool)
+    valid[:, :n_inst] = True
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(valid.astype(np.int32)),
+        "mask28": jnp.asarray(
+            (rng.uniform(size=(b, i, 28, 28)) > 0.5).astype(np.uint8) * 255),
+        "valid": jnp.asarray(valid),
+    }
+    return body, state, images, targets
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--quirk", action="store_true",
                         help="reference-quirk mode instead of fixed mode")
+    parser.add_argument("--transfer", action="store_true",
+                        help="the transfer (R50-FPN, 800x1088) step "
+                             "instead of the custom model")
     parser.add_argument("--measure", action="store_true",
                         help="also time the per-dispatch step")
     parser.add_argument("--steps", type=int, default=30)
@@ -92,17 +141,20 @@ def main(argv=None):
     from livecell_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    if args.quirk:
-        cfg = ModelConfig()
+    if args.transfer:
+        body, state, images, targets = build_transfer_step(args.batch_size)
     else:
-        cfg = ModelConfig(heads_all_images=True, decode_proposals=True,
-                          mask_train_samples=64)
-    if args.stem_s2d:
-        import dataclasses
+        if args.quirk:
+            cfg = ModelConfig()
+        else:
+            cfg = ModelConfig(heads_all_images=True, decode_proposals=True,
+                              mask_train_samples=64)
+        if args.stem_s2d:
+            import dataclasses
 
-        cfg = dataclasses.replace(cfg, stem_s2d=True)
+            cfg = dataclasses.replace(cfg, stem_s2d=True)
 
-    body, state, images, targets = build_step(cfg, args.batch_size)
+        body, state, images, targets = build_step(cfg, args.batch_size)
     key = jax.random.key(1)
 
     analytic_flops = count_flops(body, state, images, targets, key)
@@ -122,7 +174,9 @@ def main(argv=None):
     t_hbm_ms = xla_bytes / V5E_HBM_BPS * 1e3
 
     rec = {
-        "mode": ("quirk" if args.quirk else "fixed") + ("+s2d" if args.stem_s2d else ""),
+        "mode": ("transfer" if args.transfer
+                 else ("quirk" if args.quirk else "fixed")
+                 + ("+s2d" if args.stem_s2d else "")),
         "batch_size": args.batch_size,
         "analytic_mxu_tflops": round(analytic_flops / 1e12, 4),
         "xla_total_tflops": round(xla_flops / 1e12, 4),
